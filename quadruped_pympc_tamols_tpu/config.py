@@ -1,0 +1,371 @@
+"""Typed, frozen, jit-static configuration for the TPU-native quadruped MPC framework.
+
+This replaces the reference's module-level dict/global config system
+(/root/reference/quadruped_pympc/config.py:72-281) with hashable frozen dataclasses that
+can close over jitted solver factories (static under XLA tracing). Robot physical
+constants (mass/inertia per robot) mirror the values in the reference config
+(config.py:19-66); hip heights approximate the gym_quadruped RobotConfig values the
+reference pulls in at config.py:11-16.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+import numpy as np
+
+GRAVITY = 9.81
+
+# Leg ordering used everywhere: index 0=FL, 1=FR, 2=RL, 3=RR.
+LEGS = ("FL", "FR", "RL", "RR")
+
+
+class GaitType(enum.IntEnum):
+    """Gait families (reference: helpers/quadruped_utils.py:12-22)."""
+
+    TROT = 0
+    PACE = 1
+    BOUNDING = 2
+    CIRCULARCRAWL = 3
+    BFDIAGONALCRAWL = 4
+    BACKDIAGONALCRAWL = 5
+    FRONTDIAGONALCRAWL = 6
+    FULL_STANCE = 7
+
+
+# Per-leg phase offsets for each gait (reference: helpers/periodic_gait_generator.py:24-39).
+GAIT_PHASE_OFFSETS: dict[GaitType, Tuple[float, float, float, float]] = {
+    GaitType.TROT: (0.5, 1.0, 1.0, 0.5),
+    GaitType.PACE: (0.8, 0.3, 0.8, 0.3),
+    GaitType.BOUNDING: (0.5, 0.5, 0.0, 0.0),
+    GaitType.CIRCULARCRAWL: (0.0, 0.25, 0.75, 0.5),
+    GaitType.BFDIAGONALCRAWL: (0.0, 0.25, 0.5, 0.75),
+    GaitType.BACKDIAGONALCRAWL: (0.0, 0.5, 0.75, 0.25),
+    GaitType.FRONTDIAGONALCRAWL: (0.5, 1.0, 0.75, 1.25),
+    GaitType.FULL_STANCE: (0.0, 0.5, 0.5, 0.0),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotParams:
+    """Physical constants of a quadruped robot.
+
+    ``inertia`` is a row-major 3x3 tuple-of-tuples so the dataclass stays hashable
+    (jit-static). Use :meth:`inertia_matrix` for the ndarray view.
+    """
+
+    name: str
+    mass: float
+    inertia: Tuple[Tuple[float, float, float], ...]
+    hip_height: float
+    # Kinematic reach band used by the TAMOLS planner (reference config.py:234-237).
+    l_min: float = 0.15
+    l_max: float = 0.45
+    # Leg geometry for the analytic FK/IK (hip->thigh offset, thigh & calf lengths).
+    hip_offset_y: float = 0.083
+    thigh_length: float = 0.25
+    calf_length: float = 0.25
+
+    def inertia_matrix(self) -> np.ndarray:
+        return np.asarray(self.inertia, dtype=np.float64)
+
+
+def _sym(m: np.ndarray) -> Tuple[Tuple[float, float, float], ...]:
+    return tuple(tuple(float(v) for v in row) for row in m)
+
+
+_GO_INERTIA = _sym(
+    np.array(
+        [
+            [1.58460467e-01, 1.21660000e-04, -1.55444692e-02],
+            [1.21660000e-04, 4.68645637e-01, -3.12000000e-05],
+            [-1.55444692e-02, -3.12000000e-05, 5.24474661e-01],
+        ]
+    )
+)
+_ALIENGO_INERTIA = _sym(
+    np.array(
+        [
+            [0.2310941359705289, -0.0014987128245817424, -0.021400468992761768],
+            [-0.0014987128245817424, 1.4485084687476608, 0.0004641447134275615],
+            [-0.021400468992761768, 0.0004641447134275615, 1.503217877350808],
+        ]
+    )
+)
+_HYQ_INERTIA = _sym(
+    np.array(
+        [
+            [4.55031444e00, 2.75249434e-03, -5.11957307e-01],
+            [2.75249434e-03, 2.02411774e01, -7.38560592e-04],
+            [-5.11957307e-01, -7.38560592e-04, 2.14269772e01],
+        ]
+    )
+)
+
+# Mass/inertia values per robot mirror reference config.py:19-66; l_min/l_max mirror
+# the tamols_params tables at config.py:234-237.
+ROBOTS: dict[str, RobotParams] = {
+    "go1": RobotParams("go1", 12.019, _GO_INERTIA, hip_height=0.30, l_min=0.15, l_max=0.45,
+                       hip_offset_y=0.08, thigh_length=0.213, calf_length=0.213),
+    "go2": RobotParams("go2", 15.019, _GO_INERTIA, hip_height=0.28, l_min=0.15, l_max=0.45,
+                       hip_offset_y=0.0955, thigh_length=0.213, calf_length=0.213),
+    "aliengo": RobotParams("aliengo", 24.637, _ALIENGO_INERTIA, hip_height=0.35, l_min=0.1,
+                           l_max=0.55, hip_offset_y=0.083, thigh_length=0.25, calf_length=0.25),
+    "b2": RobotParams("b2", 83.49, _ALIENGO_INERTIA, hip_height=0.485, l_min=0.25, l_max=0.75,
+                      hip_offset_y=0.12, thigh_length=0.35, calf_length=0.35),
+    "hyqreal1": RobotParams("hyqreal1", 108.40, _HYQ_INERTIA, hip_height=0.5, l_min=0.25,
+                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38),
+    "hyqreal2": RobotParams("hyqreal2", 126.69, _HYQ_INERTIA, hip_height=0.5, l_min=0.25,
+                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38),
+    "mini_cheetah": RobotParams("mini_cheetah", 12.5, _GO_INERTIA, hip_height=0.225, l_min=0.12,
+                                l_max=0.40, hip_offset_y=0.062, thigh_length=0.209, calf_length=0.195),
+    "spot": RobotParams("spot", 50.34, _ALIENGO_INERTIA, hip_height=0.48, l_min=0.20, l_max=0.60,
+                        hip_offset_y=0.11, thigh_length=0.32, calf_length=0.33),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitParams:
+    """One gait's timing (reference config.py:249-254)."""
+
+    gait_type: GaitType = GaitType.TROT
+    step_freq: float = 1.4
+    duty_factor: float = 0.65
+
+    @property
+    def phase_offsets(self) -> Tuple[float, float, float, float]:
+        return GAIT_PHASE_OFFSETS[self.gait_type]
+
+    @property
+    def stance_time(self) -> float:
+        return self.duty_factor / self.step_freq
+
+    @property
+    def swing_period(self) -> float:
+        return (1.0 - self.duty_factor) / self.step_freq
+
+
+# Named gait presets (reference config.py:249-254).
+GAITS: dict[str, GaitParams] = {
+    "trot": GaitParams(GaitType.TROT, 1.4, 0.65),
+    "pace": GaitParams(GaitType.PACE, 1.4, 0.7),
+    "crawl": GaitParams(GaitType.BACKDIAGONALCRAWL, 0.5, 0.8),
+    "bound": GaitParams(GaitType.BOUNDING, 1.8, 0.65),
+    "full_stance": GaitParams(GaitType.FULL_STANCE, 2.0, 0.65),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class CostWeights:
+    """Diagonal state-cost weights of the sampling MPC
+    (reference controllers/sampling/centroidal_nmpc_jax.py:118-131)."""
+
+    com_z: float = 1500.0
+    vel_x: float = 200.0
+    vel_y: float = 200.0
+    vel_z: float = 200.0
+    roll: float = 500.0
+    pitch: float = 500.0
+    yaw: float = 0.0
+    rate_x: float = 20.0
+    rate_y: float = 20.0
+    rate_z: float = 50.0
+
+    def as_vector(self) -> np.ndarray:
+        """(12,) diagonal of Q over [pos(3), vel(3), rpy(3), rates(3)]."""
+        return np.array(
+            [0.0, 0.0, self.com_z, self.vel_x, self.vel_y, self.vel_z,
+             self.roll, self.pitch, self.yaw, self.rate_x, self.rate_y, self.rate_z],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Sampling-MPC knobs (reference config.py:175-190 and centroidal_nmpc_jax.py:39-41)."""
+
+    method: str = "random_sampling"  # 'random_sampling' | 'mppi' | 'cem_mppi'
+    parametrization: str = "cubic_spline"  # 'cubic_spline' | 'linear_spline' | 'zero_order'
+    num_splines: int = 2
+    num_samples: int = 10000
+    num_iterations: int = 1
+    sigma_mppi: float = 3.0
+    sigma_cem_mppi: float = 3.0
+    sigma_random: Tuple[float, float, float] = (0.2, 3.0, 10.0)
+    shift_solution: bool = False
+    # Noise-to-force scaling caps (reference centroidal_nmpc_jax.py:39-41).
+    max_force_x: float = 10.0
+    max_force_y: float = 10.0
+    max_force_z: float = 30.0
+    mppi_temperature: float = 1.0
+    cem_elite: int = 10
+    cem_sigma_min: float = 0.2
+    cem_sigma_max: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientParams:
+    """Gradient-MPC knobs (reference config.py:105-171)."""
+
+    use_RTI: bool = False
+    as_rti_type: str = "Standard"  # Standard | AS-RTI-A..D
+    as_rti_iter: int = 1
+    use_DDP: bool = False
+    num_qp_iterations: int = 1
+    solver_mode: str = "balance"  # balance | robust | speed | crazy_speed
+    use_warm_start: bool = False
+    use_integrators: bool = False
+    alpha_integrator: float = 0.1
+    integrator_cap: Tuple[float, ...] = (0.5, 0.2, 0.2, 0.0, 0.0, 1.0)
+    use_foothold_optimization: bool = False
+    use_foothold_constraints: bool = False
+    use_static_stability: bool = False
+    use_zmp_stability: bool = False
+    trot_stability_margin: float = 0.04
+    pace_stability_margin: float = 0.1
+    crawl_stability_margin: float = 0.04
+    use_input_prediction: bool = False
+    external_wrenches_compensation: bool = True
+    external_wrenches_compensation_num_step: int = 15
+    passive_arm_compensation: bool = True
+    # Lyapunov variant gains (reference config.py:167-170).
+    K_z1: Tuple[float, float, float] = (1.0, 1.0, 10.0)
+    K_z2: Tuple[float, float, float] = (1.0, 4.0, 10.0)
+    residual_dynamics_upper_bound: float = 30.0
+    use_residual_dynamics_decay: bool = False
+    # Interior-point QP iteration budget; mirrors HPIPM mode caps
+    # (reference centroidal_nmpc_nominal.py:242-251).
+    qp_iters: int = 18
+    qp_iters_speed: int = 10
+    qp_iters_crazy_speed: int = 5
+    levenberg_marquardt: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class TamolsParams:
+    """TAMOLS foothold-scoring parameters (reference config.py:209-243)."""
+
+    search_radius: float = 0.32
+    search_resolution: float = 0.04
+    gradient_delta: float = 0.04
+    weight_edge_avoidance: float = 10.0
+    weight_roughness: float = 10.0
+    weight_deviation: float = 2.0
+    weight_kinematic: float = 2.0
+    weight_nominal_kinematic: float = 0.0
+    weight_reference_tracking: float = 10.0
+    weight_stability: float = 20.0
+    stability_margin: float = 0.06
+    stability_hard: bool = False
+    stability_soft: bool = True
+    estimated_swing_time: float = 0.25
+    h_des: float = 0.35  # defaults to robot hip height when built via make_config
+    slope_threshold: float = 0.7
+    constraint_box_dx: float = 0.05
+    constraint_box_dy: float = 0.05
+    # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
+    sensor_z_offset: float = 0.02
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCParams:
+    """Shared MPC shape/limits (reference config.py:72-103)."""
+
+    type: str = "sampling"  # 'nominal'|'input_rates'|'sampling'|'collaborative'|'lyapunov'|'kinodynamic'
+    horizon: int = 12
+    dt: float = 0.02
+    mu: float = 0.5
+    grf_max: float = 241.69  # mass*g by default; rebuilt in make_config
+    grf_min: float = 0.0
+    use_nonuniform_discretization: bool = False
+    horizon_fine_grained: int = 2
+    dt_fine_grained: float = 0.01
+    optimize_step_freq: bool = False
+    step_freq_available: Tuple[float, ...] = (1.4, 2.0, 2.4)
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    gradient: GradientParams = dataclasses.field(default_factory=GradientParams)
+    cost: CostWeights = dataclasses.field(default_factory=CostWeights)
+
+    def dts(self) -> np.ndarray:
+        """Per-stage integration steps, honoring nonuniform discretization
+        (reference centroidal_model_jax.py:42-53)."""
+        if self.use_nonuniform_discretization:
+            fine = np.full(self.horizon_fine_grained, self.dt_fine_grained)
+            coarse = np.full(self.horizon - self.horizon_fine_grained, self.dt)
+            return np.concatenate([fine, coarse]).astype(np.float32)
+        return np.full(self.horizon, self.dt, dtype=np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Simulation / whole-body-layer knobs (reference config.py:194-281)."""
+
+    dt: float = 0.002
+    mpc_frequency: float = 100.0
+    gait: str = "trot"
+    swing_generator: str = "bezier_ref"  # 'bezier_ref' | 'scipy' | 'explicit'
+    swing_position_gain_fb: float = 500.0
+    swing_velocity_gain_fb: float = 10.0
+    impedance_joint_position_gain: float = 10.0
+    impedance_joint_velocity_gain: float = 2.0
+    step_height: float = 0.105  # 0.3*hip_height by default; rebuilt in make_config
+    ref_z: float = 0.35  # hip_height by default
+    visual_foothold_adaptation: str = "tamols"  # 'blind'|'height'|'tamols'
+    reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
+    reflex_max_step_height: float = 0.175  # 0.5*hip_height
+    velocity_modulator: bool = True
+    scene: str = "flat"
+    use_inertia_recomputation: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level immutable configuration bundle."""
+
+    robot: RobotParams
+    mpc: MPCParams
+    sim: SimParams
+    gait_params: GaitParams
+    tamols: TamolsParams
+    gravity: float = GRAVITY
+
+    @property
+    def hip_height(self) -> float:
+        return self.robot.hip_height
+
+
+def make_config(
+    robot: str = "aliengo",
+    mpc_type: str = "sampling",
+    gait: str = "trot",
+    **overrides,
+) -> Config:
+    """Build a fully-resolved Config with robot-derived defaults.
+
+    Mirrors the derived values the reference computes at import time:
+    grf_max = mass*g (config.py:90), step_height = 0.3*hip_height (config.py:202),
+    ref_z = hip_height (config.py:266), tamols h_des = hip_height (config.py:231).
+    """
+    rp = ROBOTS[robot]
+    mpc = MPCParams(type=mpc_type, grf_max=rp.mass * GRAVITY)
+    sim = SimParams(gait=gait, step_height=0.3 * rp.hip_height, ref_z=rp.hip_height)
+    tam = TamolsParams(h_des=rp.hip_height)
+    cfg = Config(robot=rp, mpc=mpc, sim=sim, gait_params=GAITS[gait], tamols=tam)
+    if overrides:
+        cfg = replace_config(cfg, **overrides)
+    return cfg
+
+
+def replace_config(cfg: Config, **overrides) -> Config:
+    """Functional update helper with dotted paths, e.g.
+    ``replace_config(cfg, **{"mpc.sampling.method": "mppi"})``."""
+    for path, value in overrides.items():
+        parts = path.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        for obj, name in zip(reversed(objs), reversed(parts)):
+            value = dataclasses.replace(obj, **{name: value})
+        cfg = value
+    return cfg

@@ -1,0 +1,215 @@
+"""Swing-foot trajectory generation and Cartesian tracking control.
+
+Three generators mirror the reference's options (helpers/swing_trajectory_controller.py
+:15-23):
+
+* ``bezier_ref`` (default): 6th-degree Bezier with P0=P1=P2=lift_off and
+  P4=P5=P6=touch_down (zero velocity/acceleration at both ends) and P3 solved so the
+  curve midpoint reaches max(z0, zf) + step_height (reference
+  swing_generators/bezier_ref_swing_trajectory_generator.py:62-122). Implemented as a
+  closed-form batched jnp function — one call evaluates all legs (and batches).
+* ``explicit``: two chained cubic Beziers with a step-height apex (reference
+  swing_generators/explicit_swing_trajectory_generator.py:57-74).
+* ``scipy``: 5-waypoint clamped cubic spline with reflex re-planning from the contact
+  hitpoint with a raised apex (reference
+  swing_generators/scipy_swing_trajectory_generator.py:25-91).
+
+The Cartesian swing tracking law matches the reference
+(swing_trajectory_controller.py:83-91):
+    tau = J^T (Kp e_p + Kd e_v) [+ M J^+ (a_des - Jdot qdot) + h].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Binomial coefficients of the degree-6 Bernstein basis.
+_C6 = np.array([1.0, 6.0, 15.0, 20.0, 15.0, 6.0, 1.0], dtype=np.float32)
+
+
+def _bernstein6(s):
+    """(..., 7) basis, plus first and second derivatives w.r.t. s."""
+    s = jnp.asarray(s)
+    i = jnp.arange(7, dtype=s.dtype)
+    si = s[..., None] ** i
+    ti = (1.0 - s[..., None]) ** (6 - i)
+    b = _C6 * si * ti
+    # d/ds [C s^i (1-s)^(6-i)] = C [i s^(i-1)(1-s)^(6-i) - (6-i) s^i (1-s)^(5-i)]
+    s_ = s[..., None]
+    si_m1 = jnp.where(i > 0, s_ ** jnp.maximum(i - 1, 0), 0.0)
+    ti_m1 = jnp.where(i < 6, (1.0 - s_) ** jnp.maximum(5 - i, 0), 0.0)
+    db = _C6 * (i * si_m1 * ti - (6 - i) * si * ti_m1)
+    si_m2 = jnp.where(i > 1, s_ ** jnp.maximum(i - 2, 0), 0.0)
+    ti_m2 = jnp.where(i < 5, (1.0 - s_) ** jnp.maximum(4 - i, 0), 0.0)
+    d2b = _C6 * (
+        i * (i - 1) * si_m2 * ti
+        - 2 * i * (6 - i) * si_m1 * ti_m1
+        + (6 - i) * (5 - i) * si * ti_m2
+    )
+    return b, db, d2b
+
+
+def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_down):
+    """Desired foot (pos, vel, acc) on the degree-6 Bezier swing curve.
+
+    Args:
+        swing_time: (...,) current time within the swing phase.
+        swing_period: scalar total swing duration.
+        step_height: scalar apex height above max(lift_off_z, touch_down_z).
+        lift_off: (..., 3), touch_down: (..., 3).
+
+    Returns:
+        (pos, vel, acc), each (..., 3). Broadcasts over legs/batches.
+    """
+    s = jnp.clip(swing_time / swing_period, 0.0, 1.0)
+    p0 = lift_off
+    pf = touch_down
+
+    z_mid = jnp.maximum(p0[..., 2], pf[..., 2]) + step_height
+    p3_z = (64.0 * z_mid - 22.0 * p0[..., 2] - 22.0 * pf[..., 2]) / 20.0
+    p3 = jnp.concatenate(
+        [0.5 * (p0[..., :2] + pf[..., :2]), p3_z[..., None]], axis=-1
+    )
+    # Control points (..., 7, 3): [p0, p0, p0, p3, pf, pf, pf]
+    cp = jnp.stack([p0, p0, p0, p3, pf, pf, pf], axis=-2)
+
+    b, db, d2b = _bernstein6(s)
+    pos = jnp.einsum("...i,...ij->...j", b, cp)
+    vel = jnp.einsum("...i,...ij->...j", db, cp) / swing_period
+    acc = jnp.einsum("...i,...ij->...j", d2b, cp) / (swing_period**2)
+    return pos, vel, acc
+
+
+def _cubic_bezier(p0, pf, t):
+    """Cubic Bezier with zero end velocities; returns (pos, vel, acc) at t in [0,1]."""
+    d = pf - p0
+    b = t * t * (3.0 - 2.0 * t)
+    db = 6.0 * t * (1.0 - t)
+    d2b = 6.0 - 12.0 * t
+    return p0 + d * b[..., None], d * db[..., None], d * d2b[..., None]
+
+
+def explicit_swing_refs(swing_time, swing_period, step_height, lift_off, touch_down):
+    """Two chained cubic Beziers: up to the apex in the first half, down in the second
+    (reference explicit_swing_trajectory_generator.py:57-74)."""
+    half = swing_period / 2.0
+    apex = jnp.concatenate(
+        [
+            0.5 * (lift_off[..., :2] + touch_down[..., :2]),
+            (jnp.maximum(lift_off[..., 2], touch_down[..., 2]) + step_height)[..., None],
+        ],
+        axis=-1,
+    )
+    t = jnp.clip(swing_time, 0.0, swing_period)
+    first = t < half
+    t1 = jnp.clip(t / half, 0.0, 1.0)
+    t2 = jnp.clip((t - half) / half, 0.0, 1.0)
+    p_up, v_up, a_up = _cubic_bezier(lift_off, apex, t1)
+    p_dn, v_dn, a_dn = _cubic_bezier(apex, touch_down, t2)
+    f = first[..., None]
+    pos = jnp.where(f, p_up, p_dn)
+    vel = jnp.where(f, v_up, v_dn) / half
+    acc = jnp.where(f, a_up, a_dn) / (half * half)
+    return pos, vel, acc
+
+
+class SwingTrajectoryController:
+    """Host-side swing clocks, event detection and torque computation.
+
+    Mirrors the reference SwingTrajectoryController
+    (helpers/swing_trajectory_controller.py:4-165).
+    """
+
+    def __init__(self, step_height, swing_period, position_gain_fb, velocity_gain_fb,
+                 generator: str = "bezier_ref", reflex_max_step_height: float | None = None):
+        self.generator = generator
+        self.step_height = step_height
+        self.swing_period = swing_period
+        self.position_gain_fb = position_gain_fb
+        self.velocity_gain_fb = velocity_gain_fb
+        self.reflex_max_step_height = (
+            reflex_max_step_height if reflex_max_step_height is not None else 1.6 * step_height
+        )
+        self.swing_time = [0.0, 0.0, 0.0, 0.0]
+        self.use_feedback_linearization = True
+        self.use_friction_compensation = True
+        self.rising_edge_detected = False
+
+    def regenerate_swing_trajectory_generator(self, step_height, swing_period):
+        self.step_height = step_height
+        self.swing_period = swing_period
+
+    # -- trajectory ---------------------------------------------------------
+    def compute_trajectory_references(self, swing_time, lift_off, touch_down,
+                                      hitmoment=-1.0, hitpoint=None):
+        """Per-leg desired (pos, vel, acc). Reflex re-planning: when an early-stance
+        hitpoint exists, restart the curve from the hitpoint with a raised apex and the
+        remaining time compressed (reference scipy_swing_trajectory_generator.py:25-47)."""
+        lift_off = np.asarray(lift_off, np.float64).reshape(3)
+        touch_down = np.asarray(touch_down, np.float64).reshape(3)
+        step_height = self.step_height
+        period = self.swing_period
+        t = swing_time
+        if hitpoint is not None and hitmoment >= 0.0:
+            lift_off = np.asarray(hitpoint, np.float64).reshape(3)
+            step_height = self.reflex_max_step_height
+            period = max(self.swing_period - hitmoment, 1e-3)
+            t = swing_time - hitmoment
+        if self.generator == "explicit":
+            pos, vel, acc = explicit_swing_refs(t, period, step_height,
+                                                jnp.asarray(lift_off), jnp.asarray(touch_down))
+        else:
+            pos, vel, acc = bezier_swing_refs(t, period, step_height,
+                                              jnp.asarray(lift_off), jnp.asarray(touch_down))
+        return np.asarray(pos), np.asarray(vel), np.asarray(acc)
+
+    # -- control ------------------------------------------------------------
+    def compute_swing_control_cartesian_space(
+        self, leg_id, q_dot, J, J_dot, lift_off, touch_down, foot_pos, foot_vel,
+        h, mass_matrix, early_stance_hitmoment=-1.0, early_stance_hitpoint=None,
+    ):
+        des_pos, des_vel, des_acc = self.compute_trajectory_references(
+            self.swing_time[leg_id], lift_off, touch_down,
+            early_stance_hitmoment, early_stance_hitpoint,
+        )
+        e_p = (des_pos - np.asarray(foot_pos)).reshape(3)
+        e_v = (des_vel - np.asarray(foot_vel)).reshape(3)
+        acc = (des_acc + self.position_gain_fb * e_p + self.velocity_gain_fb * e_v).reshape(3)
+        tau = J.T @ (self.position_gain_fb * e_p + self.velocity_gain_fb * e_v)
+        if self.use_feedback_linearization:
+            tau = tau + mass_matrix @ np.linalg.pinv(J) @ (acc - J_dot @ q_dot) + h
+        return tau, des_pos, des_vel
+
+    # -- clocks & events -----------------------------------------------------
+    def update_swing_time(self, current_contact, dt):
+        for leg in range(4):
+            if current_contact[leg] == 0:
+                if self.swing_time[leg] < self.swing_period:
+                    self.swing_time[leg] += dt
+            else:
+                self.swing_time[leg] = 0.0
+
+    def check_apex_condition(self, current_contact, interval=0.02):
+        """1 when any swing leg is within ±interval of mid-swing
+        (reference swing_trajectory_controller.py:129-138)."""
+        mid = self.swing_period / 2.0
+        for leg in range(4):
+            if current_contact[leg] == 0 and abs(self.swing_time[leg] - mid) < interval:
+                return 1
+        return 0
+
+    def check_full_stance_condition(self, current_contact):
+        return int(all(c != 0 for c in current_contact))
+
+    def check_touch_down_condition(self, current_contact, previous_contact,
+                                   contact_sequence, lookahead=3):
+        """Rising-edge + stable-stance detector gating gait optimization
+        (reference swing_trajectory_controller.py:148-165)."""
+        if np.all(np.asarray(current_contact) == 1) and not np.all(np.asarray(previous_contact) == 1):
+            self.rising_edge_detected = True
+        stable = np.all(contact_sequence[:, 0:lookahead] == 1)
+        next_lift = not np.all(contact_sequence[:, lookahead] == 1)
+        if self.rising_edge_detected and stable and next_lift:
+            self.rising_edge_detected = False
+            return 1
+        return 0
