@@ -1,0 +1,101 @@
+"""Headline benchmark: 10,000-rollout sampling-MPC solve on one chip.
+
+Reference baseline: <2 ms for 10k parallel rollouts on an RTX 4050 mobile GPU
+(/root/reference/README.md:23, BASELINE.md); the driver metric is MPC solves/s per
+chip (BASELINE.json). We report the per-solve device time measured by chaining K full
+solves inside one jitted loop (controller state threads through, so every solve does
+real work: fresh noise, 10k rollouts, optimizer update, GRF extraction). Single-call
+wall latency (includes host->device dispatch through this environment's TPU tunnel)
+is reported alongside as sync_ms/p99.
+
+Prints ONE JSON line:
+{"metric": ..., "value": per_solve_ms, "unit": "ms", "vs_baseline": 2.0/value, ...}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_pympc_tamols_tpu import make_config, replace_config
+from quadruped_pympc_tamols_tpu.controllers.sampling import (
+    SamplingState,
+    make_sampling_solver,
+)
+
+BASELINE_MS = 2.0
+CHAIN = 50
+
+
+def main():
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 10000,
+                                 "mpc.sampling.method": "random_sampling",
+                                 "mpc.sampling.parametrization": "cubic_spline"})
+    solve, P = make_sampling_solver(cfg)
+
+    state12 = jnp.asarray(
+        np.array([0.0, 0.0, cfg.sim.ref_z - 0.03, 0.1, 0, 0, 0, 0, 0, 0, 0, 0]), jnp.float32)
+    feet = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                        [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+    ref12 = jnp.asarray(
+        np.array([0.0, 0.0, cfg.sim.ref_z, 0.2, 0, 0, 0, 0, 0, 0, 0, 0]), jnp.float32)
+    seq = np.ones((4, cfg.mpc.horizon), np.float32)
+    seq[1, 6:] = 0.0
+    seq[2, 6:] = 0.0
+    seq_j = jnp.asarray(seq)
+    cur = seq_j[:, 0]
+    prev = jnp.ones(4, jnp.float32)
+
+    st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
+                       jnp.full(P, cfg.mpc.sampling.sigma_cem_mppi, jnp.float32))
+
+    @jax.jit
+    def solve_chain(st):
+        def body(_, s):
+            _, s = solve(state12, feet, ref12, feet, seq_j, cur, prev, s)
+            return s
+        return jax.lax.fori_loop(0, CHAIN, body, st)
+
+    # Warmup / compile both programs.
+    out, st1 = solve(state12, feet, ref12, feet, seq_j, cur, prev, st)
+    jax.block_until_ready(out)
+    st2 = solve_chain(st)
+    jax.block_until_ready(st2)
+
+    # Device throughput: K chained solves per jitted call, repeated.
+    reps = 10
+    t0 = time.perf_counter()
+    s = st
+    for _ in range(reps):
+        s = solve_chain(s)
+    jax.block_until_ready(s)
+    per_solve_ms = (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
+
+    # Single-call sync latency (includes tunnel dispatch overhead).
+    sync = []
+    s2 = st
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out, s2 = solve(state12, feet, ref12, feet, seq_j, cur, prev, s2)
+        jax.block_until_ready(out)
+        sync.append((time.perf_counter() - t0) * 1e3)
+    sync = np.asarray(sync)
+
+    print(json.dumps({
+        "metric": "sampling_mpc_10k_rollout_solve_ms",
+        "value": round(per_solve_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / per_solve_ms, 3),
+        "solves_per_s_per_chip": round(1e3 / per_solve_ms, 1),
+        "sync_call_median_ms": round(float(np.median(sync)), 3),
+        "sync_call_p99_ms": round(float(np.percentile(sync, 99)), 3),
+        "device": str(jax.devices()[0]),
+        "num_samples": 10000,
+        "horizon": cfg.mpc.horizon,
+    }))
+
+
+if __name__ == "__main__":
+    main()
