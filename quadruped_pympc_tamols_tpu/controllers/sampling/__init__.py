@@ -1,5 +1,6 @@
 from .splines import make_spline_basis, num_params_per_leg
-from .sampling_mpc import SamplingMPC, SamplingState, make_sampling_solver
+from .sampling_mpc import SamplingMPC, SamplingState, SolveOutput, make_sampling_solver
+from .gait_adaptive import GaitAdaptiveSamplingMPC, make_gait_adaptive_solver
 
 __all__ = [
     "make_spline_basis",
@@ -7,4 +8,7 @@ __all__ = [
     "SamplingMPC",
     "SamplingState",
     "make_sampling_solver",
+    "SolveOutput",
+    "GaitAdaptiveSamplingMPC",
+    "make_gait_adaptive_solver",
 ]
