@@ -1,0 +1,202 @@
+"""TAMOLS-inspired terrain-aware foothold adaptation — one fused kernel.
+
+Re-design of the reference VisualFootholdAdaptation 'tamols' strategy
+(helpers/visual_foothold_adaptation.py:153-714). The reference scores every heightmap
+cell per leg with a pure-Python loop over ~7 cost terms (O(cells x costs) host work,
+run once per swing apex). Here ALL candidates of ALL four legs are scored in a single
+jitted program: hard-constraint masks + soft costs are broadcast over the (4, R*C)
+candidate tensor, the argmin per leg picks the foothold, and box constraints for the
+MPC fall out. Also supports the 'height' strategy (z-snap only,
+visual_foothold_adaptation.py:104-108).
+
+Cost terms (weights from config tamols_params, reference config.py:209-243):
+  hard: kinematic reach at touch-down AND predicted lift-off (:375-395);
+        leg-terrain collision along 5 sampled leg points (:397-420);
+        optionally stability_hard (:227).
+  soft: edge avoidance — central-difference gradient magnitude above
+        slope_threshold (:422-466);
+        roughness — plane-detrended height variance of a 3x3 patch (:468-521);
+        deviation from seed ||c - seed||^2 (:341-345);
+        nominal kinematics ||hip - (c + [0,0,h_des])||^2 (:523-553);
+        reference-velocity tracking — penalize x-displacement opposing v_ref,x
+        (:555-609);
+        trot stability — distance of the predicted CoM (com + v*t_swing) to the
+        diagonal-support segment beyond stability_margin (:611-714).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .heightmap import GridHeightMap, lookup_nearest
+
+_BIG = 1.0e10
+
+# Trot diagonal partners: FL<->RR, FR<->RL (reference :640-645).
+_DIAG = np.array([3, 2, 1, 0])
+
+
+class TamolsResult(NamedTuple):
+    footholds: jnp.ndarray  # (4, 3) adapted footholds (world)
+    constraints_lo: jnp.ndarray  # (4, 3) box lower vertex
+    constraints_hi: jnp.ndarray  # (4, 3) box upper vertex
+    best_cost: jnp.ndarray  # (4,)
+    feasible: jnp.ndarray  # (4,) bool: any candidate passed the hard constraints
+
+
+def _detrend_projection(delta: float) -> np.ndarray:
+    """9x9 residual projector for the 3x3 plane fit: r = (I - A (A^T A)^-1 A^T) h.
+
+    The patch geometry is FIXED (offsets i,j in {-1,0,1} * delta), so the least-squares
+    plane fit of the reference (:503-515) reduces to one constant matrix."""
+    pos = np.array([[i * delta, j * delta] for i in (-1, 0, 1) for j in (-1, 0, 1)])
+    A = np.column_stack([pos[:, 0], pos[:, 1], np.ones(9)])
+    P = np.eye(9) - A @ np.linalg.solve(A.T @ A, A.T)
+    return P.astype(np.float32)
+
+
+def make_tamols_scorer(cfg: Config, strategy: str | None = None):
+    """Build the jitted foothold-adaptation function.
+
+    Returns ``adapt(hms, seeds, hips, base_pos, base_vel, current_contact, feet)
+    -> TamolsResult`` where ``hms`` is a leg-stacked GridHeightMap pytree
+    (leaves have leading dim 4), seeds/hips/feet are (4, 3).
+    """
+    tp = cfg.tamols
+    strategy = strategy or cfg.sim.visual_foothold_adaptation
+    l_min, l_max = cfg.robot.l_min, cfg.robot.l_max
+    Pproj = jnp.asarray(_detrend_projection(tp.gradient_delta))
+    z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
+
+    def _leg_adapt(hm: GridHeightMap, seed, hip, base_pos, base_vel, in_stance, diag_foot):
+        """Score all cells of one leg's heightmap. All lookups are on this leg's grid."""
+        cand_xy = hm.cell_world_xy().reshape(-1, 2)  # (M, 2)
+        # Candidate z: grid height + sensor offset + 0.005 (reference :192).
+        cand_z = lookup_nearest(hm, cand_xy) + z_off + 0.005
+        cand = jnp.concatenate([cand_xy, cand_z[:, None]], axis=1)  # (M, 3)
+
+        if strategy == "height":
+            h = lookup_nearest(hm, seed[:2]) + z_off
+            fh = jnp.concatenate([seed[:2], h[None]])
+            return (fh, fh - _BIG, fh + _BIG, jnp.asarray(0.0), jnp.asarray(True))
+
+        # --- hard: kinematic reach at touch-down and predicted lift-off (:375-395).
+        d_td = jnp.linalg.norm(cand - hip, axis=1)
+        hip_lo = hip + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
+        d_lo = jnp.linalg.norm(cand - hip_lo, axis=1)
+        feas = (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
+
+        # --- hard: leg-terrain collision along the hip->foot segment (:397-420).
+        alphas = jnp.linspace(0.2, 0.8, 5)
+        p_leg = hip[None, None, :] * (1 - alphas)[:, None, None] + cand[None, :, :] * alphas[:, None, None]
+        ground = lookup_nearest(hm, p_leg[..., :2])  # (5, M) raw grid z
+        collide = jnp.any(p_leg[..., 2] < ground + 0.02, axis=0)
+        feas = feas & ~collide
+
+        # --- soft: edge avoidance (:422-466).
+        delta = tp.gradient_delta
+        hpx = lookup_nearest(hm, cand_xy + jnp.array([delta, 0.0])) + z_off
+        hmx = lookup_nearest(hm, cand_xy + jnp.array([-delta, 0.0])) + z_off
+        hpy = lookup_nearest(hm, cand_xy + jnp.array([0.0, delta])) + z_off
+        hmy = lookup_nearest(hm, cand_xy + jnp.array([0.0, -delta])) + z_off
+        grad = jnp.sqrt(((hpx - hmx) / (2 * delta)) ** 2 + ((hpy - hmy) / (2 * delta)) ** 2)
+        edge = jnp.maximum(grad - tp.slope_threshold, 0.0) * tp.weight_edge_avoidance
+
+        # --- soft: roughness = detrended variance of the 3x3 patch (:468-521).
+        offs = jnp.asarray([[i * delta, j * delta] for i in (-1, 0, 1) for j in (-1, 0, 1)],
+                           jnp.float32)  # (9, 2)
+        patch = lookup_nearest(hm, cand_xy[:, None, :] + offs[None, :, :]) + z_off  # (M, 9)
+        resid = patch @ Pproj.T
+        rough = jnp.mean(resid * resid, axis=1) * tp.weight_roughness
+
+        # --- soft: deviation from seed (3D, reference :344).
+        dev = jnp.sum((cand - seed) ** 2, axis=1) * tp.weight_deviation
+
+        # --- soft: nominal kinematics (:523-553).
+        diffn = hip - (cand + jnp.array([0.0, 0.0, tp.h_des]))
+        nominal = jnp.sum(diffn * diffn, axis=1) * tp.weight_nominal_kinematic
+
+        # --- soft: reference-velocity tracking (x only, :555-609).
+        vx = base_vel[0]
+        dx = cand[:, 0] - seed[0]
+        vel_mag = jnp.linalg.norm(base_vel[:2])
+        oppose = ((vx > 0) & (dx < 0)) | ((vx < 0) & (dx > 0))
+        track = jnp.where(vel_mag < 0.01, 0.0, jnp.where(oppose, dx * dx, 0.0)) \
+            * tp.weight_reference_tracking
+
+        # --- soft: trot stability via diagonal-support segment (:611-714).
+        com_pred = base_pos[:2] + base_vel[:2] * tp.estimated_swing_time
+        p1 = cand[:, :2]
+        p2 = diag_foot[:2]
+        v = p2[None, :] - p1
+        w = com_pred[None, :] - p1
+        vv = jnp.sum(v * v, axis=1)
+        t = jnp.clip(jnp.sum(w * v, axis=1) / jnp.maximum(vv, 1e-8), 0.0, 1.0)
+        t = jnp.where(vv < 1e-8, 0.0, t)
+        closest = p1 + t[:, None] * v
+        dist = jnp.linalg.norm(com_pred[None, :] - closest, axis=1)
+        stab_pen = jnp.maximum(dist - tp.stability_margin, 0.0) ** 2
+        stab = jnp.where(in_stance == 1.0, 0.0, stab_pen) * tp.weight_stability
+        if tp.stability_hard:
+            feas = feas & ((dist <= tp.stability_margin) | (in_stance == 1.0))
+
+        cost = edge + rough + dev + nominal + track + stab
+        cost = jnp.where(feas, cost, _BIG)
+
+        best = jnp.argmin(cost)
+        best_cost = cost[best]
+        any_feas = best_cost < _BIG
+        onehot = (jnp.arange(cost.shape[0]) == best).astype(cand.dtype)
+        best_cand = onehot @ cand
+
+        # Fallback: keep the seed, height-snapped (reference :223-228).
+        seed_snap = jnp.concatenate([seed[:2], (lookup_nearest(hm, seed[:2]) + z_off)[None]])
+        fh = jnp.where(any_feas, best_cand, seed_snap)
+
+        box = jnp.array([tp.constraint_box_dx, tp.constraint_box_dy, 0.0])
+        return (fh, fh - box, fh + box, best_cost, any_feas)
+
+    def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact, feet):
+        diag_feet = feet[_DIAG]
+        fh, lo, hi, cost, feas = jax.vmap(
+            _leg_adapt, in_axes=(0, 0, 0, None, None, 0, 0)
+        )(hms, seeds, hips, base_pos, base_vel, current_contact, diag_feet)
+        return TamolsResult(fh, lo, hi, cost, feas)
+
+    return jax.jit(adapt)
+
+
+class TamolsPlanner:
+    """Host wrapper mirroring VisualFootholdAdaptation's API surface
+    (initialized flag, reset at full stance, get_footholds_adapted —
+    visual_foothold_adaptation.py:59-72)."""
+
+    def __init__(self, cfg: Config, strategy: str | None = None):
+        self.cfg = cfg
+        self.strategy = strategy or cfg.sim.visual_foothold_adaptation
+        self.adapt_fn = make_tamols_scorer(cfg, self.strategy) if self.strategy != "blind" else None
+        self.initialized = False
+        self.footholds_adaptation = None
+        self.footholds_constraints = None
+
+    def reset(self):
+        self.initialized = False
+
+    def compute_adaptation(self, hms, seeds, hips, base_pos, base_vel, current_contact, feet):
+        res = self.adapt_fn(hms, jnp.asarray(seeds, jnp.float32), jnp.asarray(hips, jnp.float32),
+                            jnp.asarray(base_pos, jnp.float32), jnp.asarray(base_vel, jnp.float32),
+                            jnp.asarray(current_contact, jnp.float32),
+                            jnp.asarray(feet, jnp.float32))
+        self.footholds_adaptation = np.asarray(res.footholds)
+        self.footholds_constraints = (np.asarray(res.constraints_lo), np.asarray(res.constraints_hi))
+        self.initialized = True
+        return res
+
+    def get_footholds_adapted(self, reference_footholds):
+        if not self.initialized:
+            return reference_footholds, None
+        return self.footholds_adaptation, self.footholds_constraints

@@ -10,3 +10,5 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_qpympc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

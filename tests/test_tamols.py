@@ -1,0 +1,128 @@
+"""TAMOLS foothold planner: heightmap lookups, hard constraints, cost behavior on
+synthetic terrains (flat, step edge, stepping stones)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_pympc_tamols_tpu import make_config, replace_config
+from quadruped_pympc_tamols_tpu.planner import (
+    GridHeightMap,
+    heightmap_from_fn,
+    lookup_nearest,
+    make_tamols_scorer,
+)
+
+
+def flat(x, y):
+    return jnp.zeros_like(x)
+
+
+def step_edge(x, y):
+    """10 cm step up at x > 0.3."""
+    return jnp.where(x > 0.3, 0.10, 0.0)
+
+
+def stones(x, y):
+    """Stepping stones: raised 10 cm circles of radius 0.09 on a 0.4 m grid;
+    gaps are 30 cm deep (like the reference's stepping-stones course,
+    docs/STEPPING_STONES_TERRAIN.md:9-40)."""
+    cx = jnp.round(x / 0.4) * 0.4
+    cy = jnp.round(y / 0.4) * 0.4
+    on = (x - cx) ** 2 + (y - cy) ** 2 <= 0.09**2
+    return jnp.where(on, 0.0, -0.30)
+
+
+def _make_hms(terrain, seeds, yaw=0.0):
+    hms = [heightmap_from_fn(terrain, s[:2], yaw) for s in seeds]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *hms)
+
+
+def _setup(terrain, seeds=None):
+    cfg = make_config("aliengo")
+    adapt = make_tamols_scorer(cfg, "tamols")
+    if seeds is None:
+        seeds = np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                          [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
+    hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
+    feet = seeds.copy()
+    hms = _make_hms(terrain, seeds)
+    return cfg, adapt, hms, seeds, hips, feet
+
+
+def test_lookup_nearest_grid():
+    hm = heightmap_from_fn(step_edge, [0.3, 0.0], yaw=0.0, rows=13, cols=7)
+    h_low = float(lookup_nearest(hm, jnp.asarray([0.2, 0.0])))
+    h_high = float(lookup_nearest(hm, jnp.asarray([0.45, 0.0])))
+    assert abs(h_low) < 1e-6 and abs(h_high - 0.10) < 1e-6
+    # Out-of-grid clamps to border.
+    far = float(lookup_nearest(hm, jnp.asarray([10.0, 10.0])))
+    assert np.isfinite(far)
+
+
+def test_flat_ground_keeps_near_seed():
+    cfg, adapt, hms, seeds, hips, feet = _setup(flat)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.2, 0.0, 0.0]),
+                np.zeros(4), feet)
+    fh = np.asarray(res.footholds)
+    assert np.all(np.asarray(res.feasible))
+    # On flat ground the only pull is deviation/tracking: stays within a cell or two.
+    assert np.all(np.linalg.norm(fh[:, :2] - seeds[:, :2], axis=1) < 0.1)
+    np.testing.assert_allclose(fh[:, 2], 0.025, atol=1e-6)  # z + 0.02 + 0.005
+
+
+def test_step_edge_avoided():
+    """Seed sits right at a 10 cm step edge: the chosen foothold must move off the
+    edge (edge cost) while flat terrain would keep it."""
+    seeds = np.array([[0.30, 0.15, 0.0], [0.30, -0.15, 0.0],
+                      [-0.20, 0.15, 0.0], [-0.20, -0.15, 0.0]])
+    cfg, adapt, hms, seeds, hips, feet = _setup(step_edge, seeds)
+    res = adapt(hms, seeds, hips, np.array([0.05, 0.0, 0.35]), np.array([0.0, 0.0, 0.0]),
+                np.zeros(4), feet)
+    fh = np.asarray(res.footholds)
+    # The front feet moved away from the x=0.3 edge by at least ~one cell.
+    assert abs(fh[0, 0] - 0.30) > 0.039
+    assert abs(fh[1, 0] - 0.30) > 0.039
+
+
+def test_stepping_stones_lands_on_stones():
+    seeds = np.array([[0.35, 0.15, 0.0], [0.35, -0.15, 0.0],
+                      [-0.35, 0.15, 0.0], [-0.35, -0.15, 0.0]])
+    cfg, adapt, hms, seeds, hips, feet = _setup(stones, seeds)
+    # Hips above actual stone height so kinematics stay feasible.
+    hips = seeds + np.array([0.0, 0.0, 0.35])
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.1, 0.0, 0.0]),
+                np.zeros(4), feet)
+    fh = np.asarray(res.footholds)
+    for leg in range(4):
+        z = float(stones(jnp.asarray(fh[leg, 0]), jnp.asarray(fh[leg, 1])))
+        assert z == 0.0, f"leg {leg} landed in a gap at {fh[leg]}"
+
+
+def test_kinematic_infeasible_falls_back_to_seed():
+    """Hips absurdly far away -> nothing reachable -> fall back to height-snapped seed."""
+    cfg, adapt, hms, seeds, hips, feet = _setup(flat)
+    hips_far = seeds + np.array([5.0, 5.0, 5.0])
+    res = adapt(hms, seeds, hips_far, np.array([0.0, 0.0, 0.35]), np.zeros(3),
+                np.zeros(4), feet)
+    assert not np.any(np.asarray(res.feasible))
+    np.testing.assert_allclose(np.asarray(res.footholds)[:, :2], seeds[:, :2], atol=1e-6)
+
+
+def test_stance_legs_skip_stability():
+    cfg, adapt, hms, seeds, hips, feet = _setup(flat)
+    r_swing = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.5, 0.0, 0.0]),
+                    np.zeros(4), feet)
+    r_stance = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.5, 0.0, 0.0]),
+                     np.ones(4), feet)
+    # Stability cost only applies to swing legs; costs must differ when CoM prediction
+    # is far from the support line.
+    assert np.all(np.asarray(r_stance.best_cost) <= np.asarray(r_swing.best_cost) + 1e-6)
+
+
+def test_constraint_boxes():
+    cfg, adapt, hms, seeds, hips, feet = _setup(flat)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet)
+    lo = np.asarray(res.constraints_lo)
+    hi = np.asarray(res.constraints_hi)
+    np.testing.assert_allclose(hi[:, 0] - lo[:, 0], 2 * cfg.tamols.constraint_box_dx, atol=1e-6)
+    np.testing.assert_allclose(hi[:, 1] - lo[:, 1], 2 * cfg.tamols.constraint_box_dy, atol=1e-6)
