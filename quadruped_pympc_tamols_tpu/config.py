@@ -62,10 +62,13 @@ class RobotParams:
     # Kinematic reach band used by the TAMOLS planner (reference config.py:234-237).
     l_min: float = 0.15
     l_max: float = 0.45
-    # Leg geometry for the analytic FK/IK (hip->thigh offset, thigh & calf lengths).
+    # Leg geometry for the analytic FK/IK (hip->thigh offset, thigh & calf lengths)
+    # and hip-joint placement on the trunk (|x|, |y| of the hip joints in base frame).
     hip_offset_y: float = 0.083
     thigh_length: float = 0.25
     calf_length: float = 0.25
+    hip_x: float = 0.2399
+    hip_y: float = 0.051
 
     def inertia_matrix(self) -> np.ndarray:
         return np.asarray(self.inertia, dtype=np.float64)
@@ -107,21 +110,29 @@ _HYQ_INERTIA = _sym(
 # the tamols_params tables at config.py:234-237.
 ROBOTS: dict[str, RobotParams] = {
     "go1": RobotParams("go1", 12.019, _GO_INERTIA, hip_height=0.30, l_min=0.15, l_max=0.45,
-                       hip_offset_y=0.08, thigh_length=0.213, calf_length=0.213),
+                       hip_offset_y=0.08, thigh_length=0.213, calf_length=0.213,
+                       hip_x=0.1881, hip_y=0.04675),
     "go2": RobotParams("go2", 15.019, _GO_INERTIA, hip_height=0.28, l_min=0.15, l_max=0.45,
-                       hip_offset_y=0.0955, thigh_length=0.213, calf_length=0.213),
+                       hip_offset_y=0.0955, thigh_length=0.213, calf_length=0.213,
+                       hip_x=0.1934, hip_y=0.0465),
     "aliengo": RobotParams("aliengo", 24.637, _ALIENGO_INERTIA, hip_height=0.35, l_min=0.1,
-                           l_max=0.55, hip_offset_y=0.083, thigh_length=0.25, calf_length=0.25),
+                           l_max=0.55, hip_offset_y=0.083, thigh_length=0.25, calf_length=0.25,
+                           hip_x=0.2399, hip_y=0.051),
     "b2": RobotParams("b2", 83.49, _ALIENGO_INERTIA, hip_height=0.485, l_min=0.25, l_max=0.75,
-                      hip_offset_y=0.12, thigh_length=0.35, calf_length=0.35),
+                      hip_offset_y=0.12, thigh_length=0.35, calf_length=0.35,
+                      hip_x=0.3285, hip_y=0.072),
     "hyqreal1": RobotParams("hyqreal1", 108.40, _HYQ_INERTIA, hip_height=0.5, l_min=0.25,
-                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38),
+                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38,
+                            hip_x=0.44, hip_y=0.112),
     "hyqreal2": RobotParams("hyqreal2", 126.69, _HYQ_INERTIA, hip_height=0.5, l_min=0.25,
-                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38),
+                            l_max=0.75, hip_offset_y=0.11, thigh_length=0.36, calf_length=0.38,
+                            hip_x=0.44, hip_y=0.112),
     "mini_cheetah": RobotParams("mini_cheetah", 12.5, _GO_INERTIA, hip_height=0.225, l_min=0.12,
-                                l_max=0.40, hip_offset_y=0.062, thigh_length=0.209, calf_length=0.195),
+                                l_max=0.40, hip_offset_y=0.062, thigh_length=0.209, calf_length=0.195,
+                                hip_x=0.19, hip_y=0.049),
     "spot": RobotParams("spot", 50.34, _ALIENGO_INERTIA, hip_height=0.48, l_min=0.20, l_max=0.60,
-                        hip_offset_y=0.11, thigh_length=0.32, calf_length=0.33),
+                        hip_offset_y=0.11, thigh_length=0.32, calf_length=0.33,
+                        hip_x=0.29785, hip_y=0.055),
 }
 
 

@@ -161,7 +161,7 @@ def friction_cone_rows(mu, grf_min, grf_max, contact_seq, dims: OCPDims):
         rows.append(base)
     C_single = np.concatenate(rows, axis=0)  # (24, 12)
     H = dims.horizon
-    C = jnp.tile(jnp.asarray(C_single), (H, 1, 1))
+    C = jnp.tile(jnp.asarray(C_single), (H, 1, 1))  # (callers may keep only d)
     fz_max = grf_max * contact_seq.T + 1e-3  # (H, 4): ~0 for swing legs
     d = jnp.zeros((H, 24))
     for leg in range(4):

@@ -63,13 +63,14 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
     H, nx, nu = dims.horizon, dims.nx, dims.nu
     gp = cfg.mpc.gradient
     srbd = make_params(cfg)
-    dts = jnp.asarray(cfg.mpc.dts())
-    q_diag = jnp.asarray(q_diag_gradient())
-    r_diag = jnp.asarray(r_diag_gradient(cfg.robot.name))
+    # Host numpy constants (embed directly into the lowered program).
+    dts = cfg.mpc.dts()
+    q_diag = q_diag_gradient()
+    r_diag = r_diag_gradient(cfg.robot.name)
     C_single = np.asarray(
         jax.device_get(friction_cone_rows(cfg.mpc.mu, cfg.mpc.grf_min, cfg.mpc.grf_max,
                                           jnp.ones((4, H)), dims)[0][0]))
-    C_big = jnp.asarray(np.kron(np.eye(H, dtype=np.float32), C_single))  # (24H, 12H)
+    C_big = np.kron(np.eye(H, dtype=np.float32), C_single)  # (24H, 12H), host numpy
     iters = _qp_iters(gp)
     lm = gp.levenberg_marquardt
     sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)

@@ -137,12 +137,12 @@ def make_gait_adaptive_solver(cfg: Config, num_samples: int | None = None,
     duty = cfg.gait_params.duty_factor
     mpc_dt = cfg.mpc.dt
 
-    dts = jnp.asarray(cfg.mpc.dts())
+    dts = cfg.mpc.dts()  # host numpy: embeds as a constant
     srbd = make_params(cfg)
     Qdiag = cfg.mpc.cost.as_vector()
     fm = ForceModelParams(sp.max_force_x / sp.max_force_z, sp.max_force_y / sp.max_force_z,
                           cfg.mpc.grf_min, cfg.mpc.grf_max, cfg.mpc.mu)
-    freq_avail = jnp.asarray(cfg.mpc.step_freq_available, jnp.float32)
+    freq_avail = np.asarray(cfg.mpc.step_freq_available, np.float32)
 
     def _sample_noise(key, sigma, n):
         n3 = n // 3

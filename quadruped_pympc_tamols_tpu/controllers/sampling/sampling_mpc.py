@@ -87,16 +87,16 @@ def make_sampling_solver(cfg: Config, num_samples: int | None = None, method: st
     P = 4 * P_leg
 
     # Step-major block-diagonal basis: one GEMM produces every sample's whole raw
-    # force trajectory in the rollout's native (H, 12, N) layout.
-    W_big = jnp.asarray(make_step_major_basis(sp.parametrization, H, sp.num_splines))
-    dts = jnp.asarray(cfg.mpc.dts())  # (H,)
+    # force trajectory in the rollout's native (H, 12, N) layout. Factory constants
+    # stay HOST numpy so they embed as MLIR constants without a device round trip.
+    W_big = make_step_major_basis(sp.parametrization, H, sp.num_splines)
+    dts = cfg.mpc.dts()  # (H,)
     srbd = make_params(cfg)
     Qdiag = cfg.mpc.cost.as_vector()  # host numpy (12,), static for the rollout
     fm = ForceModelParams(sp.max_force_x / sp.max_force_z, sp.max_force_y / sp.max_force_z,
                           cfg.mpc.grf_min, cfg.mpc.grf_max, cfg.mpc.mu)
-    shift_W = jnp.asarray(
-        make_shift_basis(sp.parametrization, H, sp.num_splines, 1.0 / cfg.sim.mpc_frequency)
-    )
+    shift_W = make_shift_basis(sp.parametrization, H, sp.num_splines,
+                               1.0 / cfg.sim.mpc_frequency)
 
     n3 = N // 3
 

@@ -46,13 +46,17 @@ class SRBDParams:
         return cls(*children)
 
 
-def make_params(cfg: Config, dtype=jnp.float32) -> SRBDParams:
+def make_params(cfg: Config, dtype=np.float32) -> SRBDParams:
+    # NOTE: leaves are HOST numpy arrays. Solver factories close over these params;
+    # numpy constants embed directly into the lowered program, whereas device arrays
+    # would be fetched back from the accelerator during MLIR lowering (a pathological
+    # round trip through this environment's TPU tunnel).
     inertia = np.asarray(cfg.robot.inertia_matrix())
     return SRBDParams(
-        mass=jnp.asarray(cfg.robot.mass, dtype),
-        inertia=jnp.asarray(inertia, dtype),
-        inertia_inv=jnp.asarray(np.linalg.inv(inertia), dtype),
-        gravity=jnp.asarray(cfg.gravity, dtype),
+        mass=np.asarray(cfg.robot.mass, dtype),
+        inertia=np.asarray(inertia, dtype),
+        inertia_inv=np.asarray(np.linalg.inv(inertia), dtype),
+        gravity=np.asarray(cfg.gravity, dtype),
     )
 
 

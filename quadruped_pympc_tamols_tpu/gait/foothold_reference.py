@@ -24,6 +24,14 @@ from ..utils.legs import Legs
 _Y_OFFSET_SIGN = np.array([1.0, -1.0, 1.0, -1.0], dtype=np.float32)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("hip_offset",))
+def _raibert_jit(*args, **kw):
+    return raibert_footholds(*args, **kw)
+
+
 def raibert_footholds(
     base_pos,  # (..., 3)
     base_rpy,  # (..., 3)
@@ -93,7 +101,7 @@ class FootholdReferenceGenerator:
         self.base_vel_hist.append(R2 @ np.asarray(base_xy_lin_vel))
         vel_mavg_h = np.mean(self.base_vel_hist, axis=0)
 
-        out = raibert_footholds(
+        out = _raibert_jit(
             jnp.asarray(base_position),
             jnp.asarray(base_ori_euler_xyz),
             jnp.asarray(vel_mavg_h),

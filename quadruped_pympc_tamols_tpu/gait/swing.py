@@ -20,6 +20,7 @@ The Cartesian swing tracking law matches the reference
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,6 +114,10 @@ def explicit_swing_refs(swing_time, swing_period, step_height, lift_off, touch_d
     return pos, vel, acc
 
 
+bezier_swing_refs_jit = jax.jit(bezier_swing_refs)
+explicit_swing_refs_jit = jax.jit(explicit_swing_refs)
+
+
 class SwingTrajectoryController:
     """Host-side swing clocks, event detection and torque computation.
 
@@ -155,12 +160,10 @@ class SwingTrajectoryController:
             step_height = self.reflex_max_step_height
             period = max(self.swing_period - hitmoment, 1e-3)
             t = swing_time - hitmoment
-        if self.generator == "explicit":
-            pos, vel, acc = explicit_swing_refs(t, period, step_height,
-                                                jnp.asarray(lift_off), jnp.asarray(touch_down))
-        else:
-            pos, vel, acc = bezier_swing_refs(t, period, step_height,
-                                              jnp.asarray(lift_off), jnp.asarray(touch_down))
+        fn = explicit_swing_refs_jit if self.generator == "explicit" else bezier_swing_refs_jit
+        pos, vel, acc = fn(jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
+                           jnp.asarray(lift_off, jnp.float32),
+                           jnp.asarray(touch_down, jnp.float32))
         return np.asarray(pos), np.asarray(vel), np.asarray(acc)
 
     # -- control ------------------------------------------------------------

@@ -7,6 +7,9 @@ foot z. Pure function + tiny stateful wrapper.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..utils.frames import yaw_rot3
@@ -48,6 +51,8 @@ def estimate_terrain_step(base_position, yaw, feet_pos, prev_roll, prev_pitch, p
 
 estimate_terrain = estimate_terrain_step
 
+_estimate_jit = jax.jit(estimate_terrain_step, static_argnames=("roll_activated", "pitch_activated"))
+
 
 class TerrainEstimator:
     """Stateful host wrapper mirroring the reference class."""
@@ -62,7 +67,7 @@ class TerrainEstimator:
     def compute_terrain_estimation(self, base_position, yaw, feet_pos, current_contact=None):
         import numpy as np
 
-        r, p, h = estimate_terrain_step(
+        r, p, h = _estimate_jit(
             jnp.asarray(base_position), jnp.asarray(yaw),
             jnp.asarray(np.asarray(feet_pos.data if hasattr(feet_pos, "data") else feet_pos)),
             self.terrain_roll, self.terrain_pitch, self.terrain_height,

@@ -1,0 +1,107 @@
+"""MPC controller dispatch layer.
+
+Counterpart of the reference SRBDControllerInterface
+(interfaces/srbd_controller_interface.py:27-245): selects the controller family from
+config, normalizes its outputs, and masks the returned GRFs by the CURRENT contact
+(:225-230). The sampling path runs its iterations inside one jit (no per-iteration
+host loop as in the reference :118-180); the gradient path exposes the RTI
+prepare/feedback split.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..utils.legs import Legs
+
+
+class SRBDControllerInterface:
+    def __init__(self, cfg: Config, seed: int = 42):
+        self.cfg = cfg
+        self.type = cfg.mpc.type
+        self.best_sample_freq = cfg.gait_params.step_freq
+
+        if self.type == "sampling":
+            if cfg.mpc.optimize_step_freq:
+                from ..controllers.sampling.gait_adaptive import GaitAdaptiveSamplingMPC
+                self.controller = GaitAdaptiveSamplingMPC(cfg, seed=seed)
+            else:
+                from ..controllers.sampling.sampling_mpc import SamplingMPC
+                self.controller = SamplingMPC(cfg, seed=seed)
+        elif self.type in ("nominal", "input_rates", "lyapunov", "collaborative"):
+            from ..controllers.gradient.sqp import GradientMPC
+            self.controller = GradientMPC(cfg)
+        else:
+            raise ValueError(f"unsupported mpc type {self.type!r}")
+
+    def compute_control(self, state_current: dict, ref_state: dict, contact_sequence,
+                        inertia=None, mass=None, external_wrenches=None,
+                        current_contact=None, previous_contact=None,
+                        phase_signal=None, optimize_swing: int = 0):
+        """Returns (nmpc_GRFs: Legs, nmpc_footholds: Legs, best_sample_freq,
+        nmpc_predicted_state)."""
+        cur = np.asarray(current_contact if current_contact is not None
+                         else contact_sequence[:, 0], np.float32)
+        prev = np.asarray(previous_contact if previous_contact is not None else cur,
+                          np.float32)
+
+        if self.type == "sampling":
+            if self.cfg.mpc.optimize_step_freq:
+                out = self.controller.compute_control(
+                    state_current, ref_state, contact_sequence, cur, prev,
+                    phase_signal if phase_signal is not None else np.zeros(4),
+                    self.best_sample_freq, optimize_swing)
+                if optimize_swing:
+                    self.best_sample_freq = float(out.best_freq)
+            else:
+                out = self.controller.compute_control(
+                    state_current, ref_state, contact_sequence, cur, prev)
+            grfs = np.asarray(out.grfs)
+            footholds = np.stack([
+                np.asarray(ref_state[f"ref_foot_{leg}"]).reshape(3)
+                for leg in ("FL", "FR", "RL", "RR")])
+            predicted = np.asarray(out.predicted_state)
+        else:
+            grfs, footholds, predicted, status, cost = self.controller.compute_control(
+                state_current, ref_state, contact_sequence,
+                external_wrenches=external_wrenches)
+
+        # Mask by current contact (reference srbd_controller_interface.py:225-230).
+        grfs = grfs * cur[:, None]
+        return Legs(grfs), Legs(np.asarray(footholds)), self.best_sample_freq, predicted
+
+    def compute_rti(self):
+        """RTI preparation phase (reference :242-245). The fused TPU solver completes
+        in ~1 ms, so preparation reduces to the warm-start shift done post-solve."""
+        if hasattr(self.controller, "compute_rti_prepare"):
+            self.controller.compute_rti_prepare()
+
+    def reset(self):
+        self.controller.reset()
+        self.best_sample_freq = self.cfg.gait_params.step_freq
+
+
+class SRBDBatchedControllerInterface:
+    """Batched gait-frequency optimization (counterpart of
+    interfaces/srbd_batched_controller_interface.py:32-80)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        from ..controllers.gradient.sqp import BatchedGradientMPC
+        self.controller = BatchedGradientMPC(cfg)
+
+    def optimize_gait(self, state_current: dict, ref_state: dict, pgg_phase_signal,
+                      pgg_duty_factor):
+        """Builds one contact sequence per candidate step frequency from the current
+        gait phase (reference :64-76) and returns the best frequency."""
+        import jax.numpy as jnp
+
+        from ..gait.periodic import contact_sequence, make_timer_dts
+
+        t_off = make_timer_dts(self.cfg.mpc)
+        freqs = jnp.asarray(self.cfg.mpc.step_freq_available)
+        phase = jnp.tile(jnp.asarray(pgg_phase_signal, jnp.float32), (len(freqs), 1))
+        seqs = contact_sequence(phase, freqs, pgg_duty_factor, jnp.asarray(t_off))
+        costs, best = self.controller.optimize_gait(state_current, ref_state,
+                                                    np.asarray(seqs))
+        return best

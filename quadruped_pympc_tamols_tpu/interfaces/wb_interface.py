@@ -1,0 +1,254 @@
+"""Whole-body interface: planners + low-level control around the MPC.
+
+Counterpart of the reference WBInterface (interfaces/wb_interface.py:22-484): owns the
+gait generator, foothold reference generator, swing controller, terrain estimator,
+TAMOLS planner, velocity modulator, early-stance detector and IK, and exposes
+
+* ``update_state_and_reference`` — gait timing + contact sequence, lift-off/touch-down
+  tracking, Raibert reference footholds, terrain-aware adaptation at swing apex,
+  terrain slope/height estimation, reference assembly (:108-302);
+* ``compute_stance_and_swing_torque`` — stance tau = -J^T f, per-leg Cartesian swing
+  tracking, friction compensation, IK -> joint PD targets, saturation (:304-467).
+
+The compute-heavy pieces (TAMOLS scoring, swing curves, IK) are the jitted kernels of
+their modules; this class is the thin stateful host shell around them.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config, GAITS, GaitType, LEGS
+from ..gait.foothold_reference import FootholdReferenceGenerator
+from ..gait.modulation import EarlyStanceDetector, VelocityModulator
+from ..gait.periodic import PeriodicGaitGenerator, make_timer_dts
+from ..gait.swing import SwingTrajectoryController
+from ..gait.terrain import TerrainEstimator
+from ..kinematics.leg_ik import LegKinematics
+from ..utils.legs import Legs
+
+
+class WBInterface:
+    def __init__(self, cfg: Config, initial_feet_pos: Legs):
+        self.cfg = cfg
+        gait = GAITS[cfg.sim.gait]
+        self.pgg = PeriodicGaitGenerator(gait, cfg.mpc.horizon)
+        self.timer_dts = make_timer_dts(cfg.mpc)
+
+        stance_time = gait.stance_time
+        self.frg = FootholdReferenceGenerator(stance_time, initial_feet_pos,
+                                              cfg.robot.hip_height)
+        self.step_height = cfg.sim.step_height
+        self.stc = SwingTrajectoryController(
+            step_height=cfg.sim.step_height,
+            swing_period=gait.swing_period,
+            position_gain_fb=cfg.sim.swing_position_gain_fb,
+            velocity_gain_fb=cfg.sim.swing_velocity_gain_fb,
+            generator=cfg.sim.swing_generator,
+            reflex_max_step_height=cfg.sim.reflex_max_step_height,
+        )
+        self.terrain_estimator = TerrainEstimator()
+        self.ik = LegKinematics(cfg.robot)
+        self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
+        self.esd = EarlyStanceDetector(
+            trigger_mode=cfg.sim.reflex_trigger_mode,
+            activated=cfg.sim.reflex_trigger_mode != "off" and cfg.mpc.type != "sampling",
+        )
+        if cfg.sim.visual_foothold_adaptation != "blind":
+            from ..planner.tamols import TamolsPlanner
+            self.vfa = TamolsPlanner(cfg)
+        else:
+            self.vfa = None
+
+        self.current_contact = np.ones(4)
+        self.previous_contact = np.ones(4)
+        self.last_des_foot_pos = Legs.zeros((3,))
+
+    # ------------------------------------------------------------------
+    def update_state_and_reference(
+        self, com_pos, base_pos, base_lin_vel, base_ori_euler_xyz, base_ang_vel,
+        feet_pos: Legs, hip_pos: Legs, joints_pos: Legs, heightmaps,
+        simulation_dt: float, ref_base_lin_vel, ref_base_ang_vel,
+    ):
+        cfg = self.cfg
+        state_current = dict(
+            position=np.asarray(com_pos) + self.frg.com_pos_offset_w,
+            linear_velocity=np.asarray(base_lin_vel),
+            orientation=np.asarray(base_ori_euler_xyz),
+            angular_velocity=np.asarray(base_ang_vel),
+            foot_FL=feet_pos.FL, foot_FR=feet_pos.FR,
+            foot_RL=feet_pos.RL, foot_RR=feet_pos.RR,
+            joint_FL=joints_pos.FL, joint_FR=joints_pos.FR,
+            joint_RL=joints_pos.RL, joint_RR=joints_pos.RR,
+        )
+
+        if self.vm.activated:
+            ref_base_lin_vel, ref_base_ang_vel = self.vm.modulate_velocities(
+                np.asarray(ref_base_lin_vel), np.asarray(ref_base_ang_vel),
+                feet_pos, hip_pos)
+
+        if self.pgg.start_and_stop_activated:
+            self.pgg.update_start_and_stop(
+                feet_pos, hip_pos, self.frg.hip_offset, base_pos, base_ori_euler_xyz,
+                base_lin_vel, base_ang_vel, ref_base_lin_vel, ref_base_ang_vel,
+                self.current_contact)
+
+        self.pgg.run(simulation_dt, self.pgg.step_freq)
+        contact_sequence = self.pgg.compute_contact_sequence(self.timer_dts)
+
+        self.previous_contact = self.current_contact.copy()
+        self.current_contact = contact_sequence[:, 0].copy()
+
+        self.frg.update_lift_off_positions(self.previous_contact, self.current_contact,
+                                           feet_pos, self.pgg.gait_type, base_pos,
+                                           base_ori_euler_xyz)
+        self.frg.update_touch_down_positions(self.previous_contact, self.current_contact,
+                                             feet_pos, self.pgg.gait_type, base_pos,
+                                             base_ori_euler_xyz)
+        ref_feet_pos = self.frg.compute_footholds_reference(
+            base_pos, base_ori_euler_xyz, np.asarray(base_lin_vel)[:2],
+            np.asarray(ref_base_lin_vel)[:2], hip_pos, cfg.sim.ref_z)
+
+        # Terrain-aware foothold adaptation at the swing apex (reference :230-246).
+        ref_feet_constraints = None
+        if self.vfa is not None and heightmaps is not None:
+            if self.stc.check_apex_condition(self.current_contact, interval=0.01) \
+                    and not self.vfa.initialized:
+                res = self.vfa.compute_adaptation(
+                    heightmaps, np.asarray(ref_feet_pos.data),
+                    np.asarray(hip_pos.data), np.asarray(base_pos),
+                    np.asarray(base_lin_vel), self.current_contact,
+                    np.asarray(feet_pos.data))
+            if self.stc.check_full_stance_condition(self.current_contact):
+                self.vfa.reset()
+            adapted, constraints = self.vfa.get_footholds_adapted(
+                np.asarray(ref_feet_pos.data))
+            ref_feet_pos = Legs(np.asarray(adapted))
+            ref_feet_constraints = constraints
+
+        # Terrain slope/height + reference rotation (reference :251-267).
+        terrain_roll, terrain_pitch, terrain_height = \
+            self.terrain_estimator.compute_terrain_estimation(
+                base_pos, base_ori_euler_xyz[2], self.frg.lift_off_positions,
+                self.current_contact)
+
+        ref_pos = np.array([0.0, 0.0, cfg.sim.ref_z + terrain_height])
+        # Rotate the commanded velocity into the terrain frame with the reference's
+        # slope heuristics (wb_interface.py:262-267).
+        from scipy.spatial.transform import Rotation as R
+
+        ref_base_lin_vel = R.from_euler("xyz", [terrain_roll, terrain_pitch, 0]).as_matrix() \
+            @ np.asarray(ref_base_lin_vel, np.float64)
+        if terrain_pitch > 0.0:
+            ref_base_lin_vel[2] = -ref_base_lin_vel[2]
+        if abs(terrain_pitch) > 0.2:
+            ref_base_lin_vel[0] /= 2.0
+            ref_base_lin_vel[2] *= 2.0
+
+        # Close the loop on the CoM height, not the base height (reference :273).
+        ref_pos[2] -= np.asarray(base_pos)[2] - (np.asarray(com_pos)[2]
+                                                 + self.frg.com_pos_offset_w[2])
+
+        ref_state = dict(
+            ref_foot_FL=ref_feet_pos.FL.reshape(1, 3),
+            ref_foot_FR=ref_feet_pos.FR.reshape(1, 3),
+            ref_foot_RL=ref_feet_pos.RL.reshape(1, 3),
+            ref_foot_RR=ref_feet_pos.RR.reshape(1, 3),
+            ref_foot_constraints=ref_feet_constraints,
+            ref_linear_velocity=np.asarray(ref_base_lin_vel),
+            ref_angular_velocity=np.asarray(ref_base_ang_vel),
+            ref_orientation=np.array([terrain_roll, terrain_pitch, 0.0]),
+            ref_position=ref_pos,
+        )
+
+        if cfg.mpc.optimize_step_freq:
+            optimize_swing = self.stc.check_touch_down_condition(
+                self.current_contact, self.previous_contact, contact_sequence,
+                lookahead=3)
+        else:
+            optimize_swing = 0
+
+        return state_current, ref_state, contact_sequence, self.step_height, optimize_swing
+
+    # ------------------------------------------------------------------
+    def compute_stance_and_swing_torque(
+        self, simulation_dt, qpos_js: Legs, qvel_js: Legs, feet_jac: Legs,
+        feet_jac_dot: Legs, feet_pos: Legs, feet_vel: Legs, legs_qfrc_bias: Legs,
+        legs_mass_matrix: Legs, nmpc_GRFs: Legs, nmpc_footholds: Legs,
+        optimize_swing: int, best_sample_freq: float, base_pos=None, base_rpy=None,
+        legs_qfrc_passive: Legs | None = None,
+    ):
+        """Returns (tau: Legs, des_joints_pos: Legs, des_joints_vel: Legs)."""
+        if optimize_swing == 1:
+            self.pgg.step_freq = float(best_sample_freq)
+            self.frg.stance_time = self.pgg.duty_factor / self.pgg.step_freq
+            swing_period = (1 - self.pgg.duty_factor) / self.pgg.step_freq
+            self.stc.regenerate_swing_trajectory_generator(self.step_height, swing_period)
+
+        self.esd.update_detection(
+            feet_pos, self.last_des_foot_pos, self.frg.lift_off_positions,
+            nmpc_footholds, self.stc.swing_time, self.stc.swing_period,
+            self.current_contact, self.previous_contact)
+
+        # Stance torque tau = -J^T f (reference :369-372).
+        tau = np.zeros((4, 3))
+        jac = np.asarray(feet_jac.data)  # (4, 3, 3) world-frame foot Jacobians
+        grfs = np.asarray(nmpc_GRFs.data)
+        for leg in range(4):
+            tau[leg] = -jac[leg].T @ grfs[leg]
+
+        self.stc.update_swing_time(self.current_contact, simulation_dt)
+
+        des_foot_pos = np.zeros((4, 3))
+        des_foot_vel = np.zeros((4, 3))
+        for leg, leg_name in enumerate(LEGS):
+            if self.current_contact[leg] == 0:
+                t, p, v = self.stc.compute_swing_control_cartesian_space(
+                    leg_id=leg,
+                    q_dot=np.asarray(qvel_js[leg_name]).reshape(3),
+                    J=jac[leg],
+                    J_dot=np.asarray(feet_jac_dot[leg_name]),
+                    lift_off=self.frg.lift_off_positions[leg_name],
+                    touch_down=np.asarray(nmpc_footholds[leg_name]),
+                    foot_pos=np.asarray(feet_pos[leg_name]),
+                    foot_vel=np.asarray(feet_vel[leg_name]),
+                    h=np.asarray(legs_qfrc_bias[leg_name]).reshape(3),
+                    mass_matrix=np.asarray(legs_mass_matrix[leg_name]),
+                    early_stance_hitmoment=self.esd.hitmoments[leg],
+                    early_stance_hitpoint=self.esd.hitpoints[leg],
+                )
+                tau[leg] = t
+                des_foot_pos[leg] = p
+                des_foot_vel[leg] = v
+            else:
+                des_foot_pos[leg] = np.asarray(nmpc_footholds[leg_name])
+
+        self.last_des_foot_pos = Legs(des_foot_pos.copy())
+
+        # Friction compensation (reference :411-415).
+        if self.stc.use_friction_compensation and legs_qfrc_passive is not None:
+            tau = tau - np.asarray(legs_qfrc_passive.data)
+
+        # IK -> joint PD targets (reference :425-438) with the analytic solver.
+        des_q = self.ik.compute_solution(np.asarray(base_pos), np.asarray(base_rpy),
+                                         des_foot_pos[0], des_foot_pos[1],
+                                         des_foot_pos[2], des_foot_pos[3]).reshape(4, 3)
+        des_qd = np.zeros((4, 3))
+        for leg in range(4):
+            des_qd[leg] = np.linalg.pinv(jac[leg]) @ des_foot_vel[leg]
+
+        # Saturation (reference :446-465).
+        q_now = np.asarray(qpos_js.data).reshape(4, 3)
+        qd_now = np.asarray(qvel_js.data).reshape(4, 3)
+        des_q = q_now + np.clip(des_q - q_now, -3.0, 3.0)
+        des_qd = qd_now + np.clip(des_qd - qd_now, -10.0, 10.0)
+
+        return Legs(tau), Legs(des_q), Legs(des_qd)
+
+    def reset(self, initial_feet_pos: Legs):
+        self.pgg.reset()
+        self.frg.lift_off_positions = Legs(np.asarray(initial_feet_pos.data).copy())
+        if self.vfa is not None:
+            self.vfa.reset()
+        self.esd.reset()
+        self.current_contact = np.ones(4)
+        self.previous_contact = np.ones(4)

@@ -69,7 +69,7 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     tp = cfg.tamols
     strategy = strategy or cfg.sim.visual_foothold_adaptation
     l_min, l_max = cfg.robot.l_min, cfg.robot.l_max
-    Pproj = jnp.asarray(_detrend_projection(tp.gradient_delta))
+    Pproj = _detrend_projection(tp.gradient_delta)  # host numpy constant
     z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
 
     def _leg_adapt(hm: GridHeightMap, seed, hip, base_pos, base_vel, in_stance, diag_foot):

@@ -1,0 +1,56 @@
+"""The end-to-end slice: the full stack (gait generator -> foothold reference ->
+MPC -> kinematic feet) WALKS on the SRB plant — tracks velocity, keeps height,
+stays level. This is the framework's integration test, the counterpart of running
+the reference's simulation.py and watching the robot walk (SURVEY 4.2)."""
+import numpy as np
+import pytest
+
+from quadruped_pympc_tamols_tpu import make_config, replace_config
+from quadruped_pympc_tamols_tpu.sim import SRBClosedLoopHarness
+
+
+def _walk(cfg, duration=3.0, vel=(0.3, 0.0, 0.0)):
+    h = SRBClosedLoopHarness(cfg, seed=0)
+    hist = h.run(duration, np.asarray(vel))
+    return h, hist
+
+
+def _assert_walking(cfg, hist, vel, duration):
+    z = hist[:, 2]
+    assert np.all(np.isfinite(hist)), "state diverged"
+    assert np.all(z > 0.15), f"robot collapsed: min z {z.min():.3f}"
+    assert np.all(np.abs(hist[:, 6]) < 0.5) and np.all(np.abs(hist[:, 7]) < 0.5), \
+        "robot tipped over"
+    # Travelled roughly the commanded distance (within 40%).
+    dist = hist[-1, 0] - hist[0, 0]
+    expect = vel[0] * duration
+    assert dist > 0.5 * expect, f"tracked {dist:.2f} m of {expect:.2f} m commanded"
+    # Mean height near the reference.
+    assert abs(np.mean(z[len(z) // 2:]) - cfg.sim.ref_z) < 0.08
+
+
+def test_sampling_mpc_walks():
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 2000,
+                                 "sim.visual_foothold_adaptation": "blind"})
+    duration, vel = 3.0, (0.3, 0.0, 0.0)
+    _, hist = _walk(cfg, duration, vel)
+    _assert_walking(cfg, hist, vel, duration)
+
+
+def test_gradient_mpc_walks():
+    cfg = make_config("aliengo", mpc_type="nominal")
+    cfg = replace_config(cfg, **{"sim.visual_foothold_adaptation": "blind"})
+    duration, vel = 3.0, (0.3, 0.0, 0.0)
+    _, hist = _walk(cfg, duration, vel)
+    _assert_walking(cfg, hist, vel, duration)
+
+
+def test_stand_still_stays_put():
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 1000,
+                                 "sim.visual_foothold_adaptation": "blind"})
+    h = SRBClosedLoopHarness(cfg, seed=0)
+    hist = h.run(2.0, np.zeros(3))
+    assert np.linalg.norm(hist[-1, 0:2]) < 0.15, "drifted while standing"
+    assert abs(hist[-1, 2] - cfg.sim.ref_z) < 0.05
