@@ -1,0 +1,81 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded sampling solver
+(sample-axis pmin/psum reductions), fleet scenario step, and the graft entry points."""
+import importlib.util
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_pympc_tamols_tpu import make_config, replace_config
+from quadruped_pympc_tamols_tpu.controllers.sampling import SamplingState
+from quadruped_pympc_tamols_tpu.parallel import (
+    make_multichip_step,
+    make_sharded_sampling_solver,
+    scenario_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual CPU devices"
+    return scenario_mesh(4, 2)
+
+
+def _inputs(cfg):
+    state12 = jnp.zeros(12, jnp.float32).at[2].set(cfg.sim.ref_z - 0.04)
+    feet = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                        [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+    ref12 = jnp.zeros(12, jnp.float32).at[2].set(cfg.sim.ref_z)
+    seq = jnp.ones((4, cfg.mpc.horizon), jnp.float32)
+    return state12, feet, ref12, seq
+
+
+@pytest.mark.parametrize("method", ["random_sampling", "mppi"])
+def test_sharded_sampling_solver(mesh, method):
+    cfg = make_config("aliengo", mpc_type="sampling")
+    solve, P = make_sharded_sampling_solver(cfg, mesh, num_samples=240, method=method)
+    state12, feet, ref12, seq = _inputs(cfg)
+    st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
+                       jnp.full(P, 3.0, jnp.float32))
+    grfs, st2, cost = solve(state12, feet, ref12, seq, st)
+    g = np.asarray(grfs)
+    assert g.shape == (4, 3) and np.all(np.isfinite(g))
+    assert np.all(g[:, 2] >= -1e-5)
+    assert float(cost) < 1e6
+    # A second call with the carried state improves or holds the cost.
+    grfs2, st3, cost2 = solve(state12, feet, ref12, seq, st2)
+    assert np.isfinite(float(cost2))
+
+
+def test_multichip_fleet_step(mesh):
+    cfg = make_config("aliengo", mpc_type="sampling")
+    step, init, P = make_multichip_step(cfg, mesh, scenarios_per_device=2,
+                                        num_samples=48)
+    states = init(seed=0)
+    B = 4 * 2
+    cmd = jnp.tile(jnp.asarray([0.3, 0.0, 0.0], jnp.float32), (B, 1))
+    for _ in range(3):
+        states, metrics = step(states, cmd)
+    m = np.asarray(metrics)
+    assert m.shape == (2,) and np.all(np.isfinite(m))
+    xs = np.asarray(states.x)
+    assert xs.shape == (B, 12)
+    assert np.all(np.isfinite(xs))
+    assert np.all(xs[:, 2] > 0.1), "fleet scenarios collapsed"
+
+
+def test_graft_entry_points():
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[0].grfs)))
+
+    mod.dryrun_multichip(8)
