@@ -9,6 +9,14 @@ from .ocp import (
 )
 from .qp import QPSolution, pdip_solve
 from .sqp import BatchedGradientMPC, GradientMPC, RTISolution, make_rti_solver
+from .variants import (
+    VariantGradientMPC,
+    VariantSpec,
+    make_collaborative_spec,
+    make_input_rates_spec,
+    make_lyapunov_spec,
+    make_variant_solver,
+)
 
 __all__ = [
     "OCPDims",
@@ -24,4 +32,10 @@ __all__ = [
     "GradientMPC",
     "RTISolution",
     "make_rti_solver",
+    "VariantGradientMPC",
+    "VariantSpec",
+    "make_collaborative_spec",
+    "make_input_rates_spec",
+    "make_lyapunov_spec",
+    "make_variant_solver",
 ]

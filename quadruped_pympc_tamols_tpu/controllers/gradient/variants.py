@@ -1,0 +1,383 @@
+"""Gradient-MPC variant family on a generalized augmented-state RTI core.
+
+The reference implements each variant as a separate ~1800-line acados controller
+with its own CasADi model:
+
+* input_rates (controllers/gradient/input_rates/centroidal_model_input_rates.py:79-125)
+  — GRFs move into the state, inputs become GRF rates (smooth force profiles);
+* lyapunov (lyapunov/centroidal_model_lyapunov.py:216-263,
+  centroidal_nmpc_lyapunov.py:299-341) — transverse states z1/z2 + adaptive phi with
+  nominal stabilizing force F* = m(-(K1+K2) z2 + K1^2 z1 - g) - phi redistributed to
+  stance legs, a Lyapunov-decrease constraint V_dot <= 0 and a residual bound
+  eta^T eta <= ub;
+* collaborative (collaborative/centroidal_model_collaborative.py:250-275) — a 6-dim
+  passive-arm wrench state with spring dynamics f_dot = -K_bar v_base entering the SRB
+  wrench balance.
+
+Here each variant only declares (a) its augmented discrete dynamics on top of the
+shared SRB fd, (b) cost diagonals/references, and (c) a stage inequality residual
+c(x, u) <= 0. One generalized Gauss-Newton RTI core linearizes dynamics AND
+constraints with jax.jacfwd, condenses to a dense QP over the input sequence (state
+constraint rows map through the prediction operator), and solves with the same
+fixed-iteration interior point (qp.py). Everything stays jittable and vmappable over
+gait candidates.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...dynamics.srbd import SRBDParams, fd, make_params
+from .ocp import OCPDims, build_feet_trajectory, q_diag_gradient, r_diag_gradient
+from .qp import pdip_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class VariantSpec:
+    """Static description of one gradient-MPC variant."""
+
+    name: str
+    nx: int  # augmented state dimension (first 12 = base state)
+    nu: int
+    # dynamics(x_aug, u, feet, contact, dt) -> x_aug_next (discrete)
+    dynamics: Callable
+    # stage_ineq(x_aug, u, contact, fz_max) -> residual vector c <= 0 (fixed length)
+    stage_ineq: Callable
+    n_ineq: int
+    q_diag: np.ndarray  # (nx,)
+    r_diag: np.ndarray  # (nu,)
+    # grfs(u, x_aug) -> (12,) force vector applied at the feet
+    grfs_of: Callable
+
+
+def _cone_residual(f12, contact, fz_max, mu, grf_min):
+    """Friction-cone + fz-bound residuals for a 12-vector of GRFs: 6 rows/leg."""
+    rows = []
+    for leg in range(4):
+        fx, fy, fz = f12[leg * 3], f12[leg * 3 + 1], f12[leg * 3 + 2]
+        rows += [
+            grf_min - fz,
+            fz - fz_max[leg],
+            fx - mu * fz,
+            -fx - mu * fz,
+            fy - mu * fz,
+            -fy - mu * fz,
+        ]
+    return jnp.stack(rows)
+
+
+# ---------------------------------------------------------------------------
+def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """GRFs in the state, inputs are GRF rates (reference input_rates family)."""
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    q = np.concatenate([q_diag_gradient(), r_diag_gradient(cfg.robot.name)])  # force states
+    r = np.full(12, 1e-4, dtype=np.float32)  # rate cost (smoothness)
+
+    def dynamics(x, u, feet, contact, dt):
+        base, f = x[:12], x[12:]
+        base_n = base + dt * fd(base, feet, f.reshape(4, 3), contact, srbd)
+        return jnp.concatenate([base_n, f + dt * u])
+
+    def stage_ineq(x, u, contact, fz_max):
+        return _cone_residual(x[12:], contact, fz_max, mu, grf_min)
+
+    return VariantSpec("input_rates", 24, 12, dynamics, stage_ineq, 24, q, r,
+                       grfs_of=lambda u, x: x[12:])
+
+
+def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
+                            arm_stiffness=(30.0, 30.0, 0.0)) -> VariantSpec:
+    """SRB + passive-arm wrench state (reference collaborative family).
+
+    f_arm (6,): linear x/y components follow -K_bar * v_base_xy, the angular z
+    component follows -K_yaw * omega_z (centroidal_model_collaborative.py:255-263);
+    when passive_arm_compensation the predicted wrench enters the dynamics (:266-271).
+    """
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    Kx, Ky, _ = arm_stiffness
+    K_yaw = 5.0
+    q = np.concatenate([q_diag_gradient(), np.zeros(6, np.float32)])
+    r = r_diag_gradient(cfg.robot.name)
+
+    def dynamics(x, u, feet, contact, dt):
+        base, w_arm = x[:12], x[12:]
+        d = fd(base, feet, u.reshape(4, 3), contact, srbd)
+        # Wrench enters the balance: linear part scaled by mass, angular via inertia.
+        dv = w_arm[:3] / srbd.mass
+        dw = jnp.asarray(srbd.inertia_inv) @ w_arm[3:]
+        d = d.at[3:6].add(dv).at[9:12].add(dw)
+        w_dot = jnp.asarray(
+            [-Kx * base[3], -Ky * base[4], 0.0, 0.0, 0.0, 0.0], jnp.float32
+        ).at[5].set(-K_yaw * base[11])
+        return jnp.concatenate([base + dt * d, w_arm + dt * w_dot])
+
+    def stage_ineq(x, u, contact, fz_max):
+        return _cone_residual(u, contact, fz_max, mu, grf_min)
+
+    return VariantSpec("collaborative", 18, 12, dynamics, stage_ineq, 24, q, r,
+                       grfs_of=lambda u, x: u)
+
+
+def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """SRB + transverse states z1/z2 + adaptive phi, with the V_dot <= 0 and
+    eta^T eta <= ub constraints (reference lyapunov family)."""
+    gp = cfg.mpc.gradient
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    K1 = np.asarray(gp.K_z1, np.float32)
+    K2 = np.asarray(gp.K_z2, np.float32)
+    ub_res = gp.residual_dynamics_upper_bound
+    g_vec = np.array([0.0, 0.0, -cfg.gravity], np.float32)
+    q = np.concatenate([q_diag_gradient(), np.zeros(9, np.float32)])
+    r = r_diag_gradient(cfg.robot.name)
+
+    def _f_star(z1, z2, phi):
+        # (model :216-237): F* = m(-(K1+K2) z2 + K1^2 z1 - g) - phi
+        return srbd.mass * (-(K1 + K2) * z2 + K1 * K1 * z1 - g_vec) - phi
+
+    def dynamics(x, u, feet, contact, dt):
+        base, z1, z2, phi = x[:12], x[12:15], x[15:18], x[18:21]
+        f = u.reshape(4, 3)
+        F_star = _f_star(z1, z2, phi)
+        n_st = jnp.maximum(jnp.sum(contact), 1.0)
+        # Redistribute the stabilizing force to stance legs (model :240-245).
+        f_final = (f + F_star[None, :] / n_st) * contact[:, None]
+        d = fd(base, feet, f_final, jnp.ones(4), srbd)
+        # linear_com_acc also subtracts phi (model :262).
+        d = d.at[3:6].add(-phi)
+        F_delta = jnp.sum(f * contact[:, None], axis=0)
+        z1_dot = -K1 * z1 + z2
+        z2_dot = -K2 * z2 + (F_delta + F_star) / srbd.mass + g_vec + phi
+        phi_dot = -z2
+        return jnp.concatenate([base + dt * d, z1 + dt * z1_dot, z2 + dt * z2_dot,
+                                phi + dt * phi_dot])
+
+    def stage_ineq(x, u, contact, fz_max):
+        cone = _cone_residual(u, contact, fz_max, mu, grf_min)
+        z1, z2 = x[12:15], x[15:18]
+        F_delta = jnp.sum(u.reshape(4, 3) * contact[:, None], axis=0)
+        # V_dot <= 0 (controller :299-328).
+        v_dot = (-z1 @ (K1 * z1) - z2 @ (K2 * z2) + z1 @ z2
+                 + z2 @ F_delta / srbd.mass)
+        # eta^T eta <= ub with eta = (rpy, omega) (controller :331-341).
+        eta = x[6:12]
+        res = eta @ eta - ub_res
+        return jnp.concatenate([cone, v_dot[None], res[None]])
+
+    return VariantSpec("lyapunov", 21, 12, dynamics, stage_ineq, 26, q, r,
+                       grfs_of=lambda u, x: u)
+
+
+# ---------------------------------------------------------------------------
+class VariantSolution(NamedTuple):
+    U: jnp.ndarray
+    X: jnp.ndarray  # (H+1, nx) optimized rollout
+    grfs: jnp.ndarray  # (4, 3)
+    predicted_state: jnp.ndarray  # (12,)
+    cost: jnp.ndarray
+    qp_gap: jnp.ndarray
+
+
+def make_variant_solver(cfg: Config, spec: VariantSpec):
+    """Generalized condensed RTI solve for an augmented-state variant.
+
+    Returns ``solve(x0_aug, feet_traj, contact_seq, Xref, Uref, U_warm)
+    -> VariantSolution`` (jitted)."""
+    H = cfg.mpc.horizon
+    nx, nu, m = spec.nx, spec.nu, spec.n_ineq
+    dts = cfg.mpc.dts()
+    gp = cfg.mpc.gradient
+    iters = {"balance": gp.qp_iters, "robust": gp.qp_iters + 6,
+             "speed": gp.qp_iters_speed, "crazy_speed": gp.qp_iters_crazy_speed}[gp.solver_mode]
+    lm = gp.levenberg_marquardt
+    sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
+    grf_max = cfg.mpc.grf_max
+
+    def _rollout(x0, U, feet_traj, contact_seq):
+        def body(x, inp):
+            u, feet, c, dt = inp
+            xn = spec.dynamics(x, u, feet, c, dt)
+            return xn, xn
+        _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts))
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref):
+        xbar = _rollout(x0, Ubar, feet_traj, contact_seq)
+
+        def jac(x, u, feet, c, dt):
+            A = jax.jacfwd(lambda xx: spec.dynamics(xx, u, feet, c, dt))(x)
+            B = jax.jacfwd(lambda uu: spec.dynamics(x, uu, feet, c, dt))(u)
+            return A, B
+        A, B = jax.vmap(jac)(xbar[:-1], Ubar, feet_traj, contact_seq.T, dts)
+
+        # Condense: x_{k+1} deviation = (G dU)_k rows (dx0 = 0).
+        G = [[None] * H for _ in range(H)]
+        G[0][0] = B[0]
+        for k in range(1, H):
+            for j in range(k):
+                G[k][j] = A[k] @ G[k - 1][j]
+            G[k][k] = B[k]
+        zero = jnp.zeros_like(B[0])
+        Gm = jnp.stack([jnp.stack([G[k][j] if j <= k else zero for j in range(H)])
+                        for k in range(H)])  # (H, H, nx, nu)
+        Gt = Gm.transpose(1, 3, 0, 2).reshape(H * nu, H * nx)
+
+        Qw = jnp.tile(jnp.asarray(spec.q_diag), (H,))
+        Rw = jnp.tile(jnp.asarray(spec.r_diag), (H,))
+        e = (xbar[1:] - Xref).reshape(-1)
+        g = Gt @ (Qw * e) + Rw * (Ubar - Uref).reshape(-1)
+        Hm = (Gt * Qw[None, :]) @ Gt.T + jnp.diag(Rw) + lm * jnp.eye(H * nu)
+
+        # Stage inequalities linearized at (xbar_k, ubar_k); state rows map through
+        # the prediction operator (x_k row k-1 of G), k=0 rows act on u only.
+        fz_max = grf_max * contact_seq.T + 1e-3  # (H, 4)
+
+        def lin_con(x, u, c, fzm):
+            cval = spec.stage_ineq(x, u, c, fzm)
+            Cx = jax.jacfwd(lambda xx: spec.stage_ineq(xx, u, c, fzm))(x)
+            Cu = jax.jacfwd(lambda uu: spec.stage_ineq(x, uu, c, fzm))(u)
+            return cval, Cx, Cu
+        cval, Cx, Cu = jax.vmap(lin_con)(xbar[:-1], Ubar, contact_seq.T, fz_max)
+
+        # Build C_big (H*m, H*nu): block-diag Cu + Cx_k @ G[k-1] rows for k >= 1.
+        Cb = jnp.zeros((H * m, H * nu))
+        for k in range(H):
+            Cb = Cb.at[k * m:(k + 1) * m, k * nu:(k + 1) * nu].set(Cu[k])
+            if k >= 1:
+                row = jnp.einsum("mx,jxu->mju", Cx[k], Gm[k - 1]).reshape(m, H * nu)
+                Cb = Cb.at[k * m:(k + 1) * m, :].add(row)
+        d = (-cval).reshape(-1)
+
+        sol = pdip_solve(Hm, g, Cb, d, iters=iters)
+        return Ubar + sol.z.reshape(H, nu), sol
+
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
+        U = U_warm
+        for _ in range(sqp_iters):
+            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref)
+        X = _rollout(x0, U, feet_traj, contact_seq)
+        ex = X[1:] - Xref
+        eu = U - Uref
+        cost = jnp.sum(ex * ex * jnp.asarray(spec.q_diag)) + \
+            jnp.sum(eu * eu * jnp.asarray(spec.r_diag))
+        # Variants with force states report the post-first-stage force X[1].
+        grfs = spec.grfs_of(U[0], X[1]).reshape(4, 3) * contact_seq[:, 0:1]
+        return VariantSolution(U, X, grfs, X[1][:12], cost, sol.gap)
+
+    return jax.jit(solve), OCPDims(nx=nx, nu=nu, horizon=H)
+
+
+class VariantGradientMPC:
+    """Host wrapper for the input_rates / lyapunov / collaborative controllers.
+
+    Same dict-based API as GradientMPC; extra augmented states initialize from the
+    current state/reference at each tick (z1/z2 from tracking errors for lyapunov,
+    carried wrench/phi states otherwise)."""
+
+    def __init__(self, cfg: Config, variant: str):
+        self.cfg = cfg
+        srbd = make_params(cfg)
+        if variant == "input_rates":
+            self.spec = make_input_rates_spec(cfg, srbd)
+        elif variant == "collaborative":
+            self.spec = make_collaborative_spec(cfg, srbd)
+        elif variant == "lyapunov":
+            self.spec = make_lyapunov_spec(cfg, srbd)
+        else:
+            raise ValueError(variant)
+        self.solve, self.dims = make_variant_solver(cfg, self.spec)
+        H = cfg.mpc.horizon
+        self.U_warm = np.zeros((H, self.spec.nu), np.float32)
+        self.extra_state = np.zeros(self.spec.nx - 12, np.float32)
+        self.previous_grfs = np.zeros((4, 3), np.float32)
+
+    def compute_control(self, state, reference, contact_sequence, constraint=None,
+                        external_wrenches=None):
+        cfg = self.cfg
+        H = self.dims.horizon
+        seq = np.asarray(contact_sequence, np.float32)[:, :H]
+        feet_now = np.stack([np.asarray(state[f"foot_{leg}"]).reshape(3)
+                             for leg in ("FL", "FR", "RL", "RR")])
+        ref_feet = np.stack([np.asarray(reference[f"ref_foot_{leg}"]).reshape(-1, 3)
+                             for leg in ("FL", "FR", "RL", "RR")])
+        feet_traj = build_feet_trajectory(feet_now, ref_feet, seq, H)
+
+        x_base = np.concatenate([
+            np.asarray(state["position"]).reshape(3),
+            np.asarray(state["linear_velocity"]).reshape(3),
+            np.asarray(state["orientation"]).reshape(3),
+            np.asarray(state["angular_velocity"]).reshape(3)]).astype(np.float32)
+        xref_base = np.concatenate([
+            np.asarray(reference["ref_position"]).reshape(3),
+            np.asarray(reference["ref_linear_velocity"]).reshape(3),
+            np.asarray(reference["ref_orientation"]).reshape(3),
+            np.asarray(reference["ref_angular_velocity"]).reshape(3)]).astype(np.float32)
+
+        extra = self.extra_state.copy()
+        if self.spec.name == "lyapunov":
+            # z1 = p - p_ref; z2 = (v - v_ref) + K1 z1 (transverse coordinates).
+            z1 = x_base[0:3] - xref_base[0:3]
+            z2 = (x_base[3:6] - xref_base[3:6]) + np.asarray(cfg.mpc.gradient.K_z1) * z1
+            extra[0:3], extra[3:6] = z1, z2  # phi (6:9) carried across ticks
+        x0 = np.concatenate([x_base, extra])
+
+        Xref = np.tile(np.concatenate([xref_base, np.zeros(self.spec.nx - 12,
+                                                           np.float32)]), (H, 1))
+        n_st = np.maximum(seq.sum(axis=0), 1.0)
+        share = cfg.robot.mass * cfg.gravity / n_st
+        if self.spec.name == "input_rates":
+            # Force references live in the STATE reference; rate reference is zero.
+            for leg in range(4):
+                Xref[:, 12 + leg * 3 + 2] = share * seq[leg]
+            Uref = np.zeros((H, 12), np.float32)
+        else:
+            Uref = np.zeros((H, 12), np.float32)
+            for leg in range(4):
+                Uref[:, leg * 3 + 2] = share * seq[leg]
+            if self.spec.name == "lyapunov":
+                Uref[:] = 0.0  # forces are deltas over the stabilizing F*
+
+        out = self.solve(jnp.asarray(x0), jnp.asarray(feet_traj, dtype=jnp.float32),
+                         jnp.asarray(seq), jnp.asarray(Xref), jnp.asarray(Uref),
+                         jnp.asarray(self.U_warm))
+        U = np.asarray(out.U)
+        if not np.all(np.isfinite(U)):
+            grfs, status, predicted = self.previous_grfs, 1, x_base
+            self.U_warm[:] = 0.0
+        else:
+            grfs = np.asarray(out.grfs)
+            if self.spec.name == "lyapunov":
+                # Applied force = delta + redistributed F* (model :240-245).
+                z1, z2, phi = extra[0:3], extra[3:6], extra[6:9]
+                K1 = np.asarray(cfg.mpc.gradient.K_z1)
+                K2 = np.asarray(cfg.mpc.gradient.K_z2)
+                F_star = cfg.robot.mass * (-(K1 + K2) * z2 + K1 * K1 * z1
+                                           - np.array([0, 0, -cfg.gravity])) - phi
+                n0 = max(seq[:, 0].sum(), 1.0)
+                grfs = (grfs + (F_star / n0)[None, :]) * seq[:, 0:1]
+                # Advance phi with its adaptive law.
+                self.extra_state[6:9] = phi + cfg.mpc.dt * (-z2)
+            if self.spec.name in ("collaborative", "input_rates"):
+                self.extra_state = np.asarray(out.X[1][12:])
+            self.previous_grfs = grfs
+            self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
+            status = 0
+            predicted = np.asarray(out.predicted_state)
+
+        fh = np.empty((4, 3), np.float32)
+        for leg in range(4):
+            fh[leg] = feet_traj[-1, leg]
+            for k in range(1, H):
+                if seq[leg, k] == 1 and seq[leg, k - 1] == 0:
+                    fh[leg] = feet_traj[k, leg]
+                    break
+        return grfs, fh, predicted, status, float(out.cost)
+
+    def reset(self):
+        self.U_warm[:] = 0.0
+        self.extra_state[:] = 0.0
+        self.previous_grfs[:] = 0.0

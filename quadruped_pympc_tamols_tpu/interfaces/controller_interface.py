@@ -28,9 +28,12 @@ class SRBDControllerInterface:
             else:
                 from ..controllers.sampling.sampling_mpc import SamplingMPC
                 self.controller = SamplingMPC(cfg, seed=seed)
-        elif self.type in ("nominal", "input_rates", "lyapunov", "collaborative"):
+        elif self.type == "nominal":
             from ..controllers.gradient.sqp import GradientMPC
             self.controller = GradientMPC(cfg)
+        elif self.type in ("input_rates", "lyapunov", "collaborative"):
+            from ..controllers.gradient.variants import VariantGradientMPC
+            self.controller = VariantGradientMPC(cfg, self.type)
         else:
             raise ValueError(f"unsupported mpc type {self.type!r}")
 

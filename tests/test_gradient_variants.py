@@ -1,0 +1,110 @@
+"""Gradient-MPC variants: input_rates (GRF-in-state smoothing), collaborative
+(passive-arm wrench), lyapunov (transverse states + V_dot constraint)."""
+import numpy as np
+import pytest
+
+from quadruped_pympc_tamols_tpu import make_config
+from quadruped_pympc_tamols_tpu.controllers.gradient import VariantGradientMPC
+from quadruped_pympc_tamols_tpu.controllers.gradient.sqp import GradientMPC
+
+
+def _standing(cfg, z=None):
+    z = cfg.sim.ref_z if z is None else z
+    state = dict(position=np.array([0.0, 0.0, z]), linear_velocity=np.zeros(3),
+                 orientation=np.zeros(3), angular_velocity=np.zeros(3),
+                 foot_FL=np.array([0.25, 0.15, 0.0]), foot_FR=np.array([0.25, -0.15, 0.0]),
+                 foot_RL=np.array([-0.25, 0.15, 0.0]), foot_RR=np.array([-0.25, -0.15, 0.0]))
+    ref = dict(ref_position=np.array([0.0, 0.0, cfg.sim.ref_z]),
+               ref_linear_velocity=np.zeros(3), ref_orientation=np.zeros(3),
+               ref_angular_velocity=np.zeros(3),
+               ref_foot_FL=state["foot_FL"][None], ref_foot_FR=state["foot_FR"][None],
+               ref_foot_RL=state["foot_RL"][None], ref_foot_RR=state["foot_RR"][None])
+    return state, ref
+
+
+@pytest.mark.parametrize("variant", ["input_rates", "collaborative", "lyapunov"])
+def test_variant_standing_sane(variant):
+    cfg = make_config("aliengo", mpc_type=variant)
+    mpc = VariantGradientMPC(cfg, variant)
+    state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.02)
+    seq = np.ones((4, cfg.mpc.horizon))
+    # A few warm ticks (input_rates needs force states to ramp from zero).
+    for _ in range(6):
+        grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    assert np.all(np.isfinite(grfs))
+    total_fz = grfs[:, 2].sum()
+    weight = cfg.robot.mass * 9.81
+    assert 0.5 * weight < total_fz < 2.0 * weight, f"total fz {total_fz:.1f}"
+    # Friction cone on applied forces.
+    assert np.all(np.abs(grfs[:, 0]) <= cfg.mpc.mu * grfs[:, 2] + 1.0)
+
+
+def test_input_rates_smoother_than_nominal():
+    """The rate-penalized variant must produce smoother force profiles across MPC
+    ticks than the nominal controller under the same disturbance sequence."""
+    def tick_deltas(make):
+        cfg = make_config("aliengo")
+        mpc = make(cfg)
+        state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.03)
+        seq = np.ones((4, cfg.mpc.horizon))
+        rng = np.random.default_rng(0)
+        for _ in range(20):  # reach steady state (force states ramp from zero)
+            mpc.compute_control(state, ref, seq)
+        prev, deltas = None, []
+        for i in range(10):
+            s = dict(state)
+            s["position"] = state["position"] + rng.normal(0, 0.005, 3)
+            grfs, *_ = mpc.compute_control(s, ref, seq)
+            if prev is not None:
+                deltas.append(np.abs(grfs - prev).max())
+            prev = grfs
+        return np.mean(deltas)
+
+    d_nominal = tick_deltas(lambda c: GradientMPC(c))
+    d_rates = tick_deltas(lambda c: VariantGradientMPC(c, "input_rates"))
+    assert d_rates < d_nominal, f"rates {d_rates:.2f} vs nominal {d_nominal:.2f}"
+
+
+def test_lyapunov_vdot_constraint_active():
+    """With a tracking error, the returned force deltas must satisfy the linearized
+    Lyapunov-decrease constraint: V_dot <= small tolerance."""
+    cfg = make_config("aliengo", mpc_type="lyapunov")
+    mpc = VariantGradientMPC(cfg, "lyapunov")
+    state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.05)
+    state["linear_velocity"] = np.array([0.1, 0.0, 0.0])
+    seq = np.ones((4, cfg.mpc.horizon))
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+
+    K1 = np.asarray(cfg.mpc.gradient.K_z1)
+    K2 = np.asarray(cfg.mpc.gradient.K_z2)
+    z1 = state["position"] - ref["ref_position"]
+    z2 = (state["linear_velocity"] - ref["ref_linear_velocity"]) + K1 * z1
+    # The QP variable is the force DELTA; recover it from the applied force.
+    phi = np.zeros(3)
+    F_star = cfg.robot.mass * (-(K1 + K2) * z2 + K1 * K1 * z1
+                               - np.array([0, 0, -9.81])) - phi
+    delta = grfs - (F_star / 4.0)[None, :]
+    F_delta = delta.sum(axis=0)
+    v_dot = (-z1 @ (K1 * z1) - z2 @ (K2 * z2) + z1 @ z2
+             + z2 @ F_delta / cfg.robot.mass)
+    assert v_dot <= 0.5, f"V_dot {v_dot:.3f} not decreasing"
+
+
+def test_collaborative_wrench_state_evolves():
+    cfg = make_config("aliengo", mpc_type="collaborative")
+    mpc = VariantGradientMPC(cfg, "collaborative")
+    state, ref = _standing(cfg)
+    state["linear_velocity"] = np.array([0.4, 0.0, 0.0])  # moving -> arm loads up
+    seq = np.ones((4, cfg.mpc.horizon))
+    mpc.compute_control(state, ref, seq)
+    assert np.any(np.abs(mpc.extra_state[:2]) > 1e-6), "arm wrench never loaded"
+
+
+def test_dispatch_builds_variants():
+    from quadruped_pympc_tamols_tpu.interfaces import SRBDControllerInterface
+    for t in ("input_rates", "collaborative", "lyapunov"):
+        cfg = make_config("aliengo", mpc_type=t)
+        iface = SRBDControllerInterface(cfg)
+        assert iface.controller.spec.name == t
