@@ -14,6 +14,7 @@ from .variants import (
     VariantSpec,
     make_collaborative_spec,
     make_input_rates_spec,
+    make_kinodynamic_spec,
     make_lyapunov_spec,
     make_variant_solver,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "VariantSpec",
     "make_collaborative_spec",
     "make_input_rates_spec",
+    "make_kinodynamic_spec",
     "make_lyapunov_spec",
     "make_variant_solver",
 ]

@@ -172,6 +172,60 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
                        grfs_of=lambda u, x: u)
 
 
+def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """SRB + joints (reference kinodynamic family, kinodynamic_model.py:175-236):
+    states add 12 joint positions, inputs are 12 joint velocities + 12 GRFs; foot
+    positions come from the analytic leg FK instead of being stage parameters, and
+    stance feet get world-velocity constraints (controller :303-337). The reference
+    needs adam/Pinocchio symbolic kinematics; here the closed-form FK/Jacobian of
+    kinematics/leg_ik.py differentiates through jacfwd."""
+    from ...kinematics.leg_ik import SIDE_SIGN, LegKinematics
+    from ...utils.frames import euler_xyz_to_rot
+
+    kin = LegKinematics(cfg.robot)
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    side = np.asarray(SIDE_SIGN)
+    hip_off = kin.hip_offsets_b  # (4,3) numpy
+
+    q = np.concatenate([q_diag_gradient(), np.full(12, 10.0, np.float32)])
+    r = np.concatenate([np.full(12, 1e-3, np.float32),  # joint velocity cost
+                        r_diag_gradient(cfg.robot.name)])
+
+    def feet_world(base_pos, rpy, q12):
+        R = euler_xyz_to_rot(rpy)
+        p_hip = kin.fk(q12.reshape(4, 3), side)  # (4,3) hip frame (vmap-free broadcast)
+        return base_pos + (hip_off + p_hip) @ R.T
+
+    def dynamics(x, u, feet_unused, contact, dt):
+        base, q12 = x[:12], x[12:]
+        qd, grf = u[:12], u[12:]
+        feet = feet_world(base[0:3], base[6:9], q12)
+        d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
+        return jnp.concatenate([base + dt * d, q12 + dt * qd])
+
+    def stage_ineq(x, u, contact, fz_max):
+        qd, grf = u[:12], u[12:]
+        cone = _cone_residual(grf, contact, fz_max, mu, grf_min)
+        # Stance-foot world velocity ~ 0: v = d(feet)/dt along the trajectory.
+        base, q12 = x[:12], x[12:]
+
+        def feet_flat(bp, rpy, qq):
+            return feet_world(bp, rpy, qq).reshape(-1)
+
+        Jq = jax.jacfwd(lambda qq: feet_flat(base[0:3], base[6:9], qq))(q12)
+        Jp = jax.jacfwd(lambda bp: feet_flat(bp, base[6:9], q12))(base[0:3])
+        Jr = jax.jacfwd(lambda rr: feet_flat(base[0:3], rr, q12))(base[6:9])
+        rpy_rate_approx = x[9:12]  # omega ~ rpy rates to first order
+        v_feet = Jq @ qd + Jp @ base[3:6] + Jr @ rpy_rate_approx  # (12,)
+        eps = 0.05
+        big = 100.0
+        relax = (1.0 - jnp.repeat(contact, 3)) * big + eps
+        return jnp.concatenate([cone, v_feet - relax, -v_feet - relax])
+
+    return VariantSpec("kinodynamic", 24, 24, dynamics, stage_ineq, 48, q, r,
+                       grfs_of=lambda u, x: u[12:])
+
+
 # ---------------------------------------------------------------------------
 class VariantSolution(NamedTuple):
     U: jnp.ndarray
@@ -287,6 +341,8 @@ class VariantGradientMPC:
             self.spec = make_collaborative_spec(cfg, srbd)
         elif variant == "lyapunov":
             self.spec = make_lyapunov_spec(cfg, srbd)
+        elif variant == "kinodynamic":
+            self.spec = make_kinodynamic_spec(cfg, srbd)
         else:
             raise ValueError(variant)
         self.solve, self.dims = make_variant_solver(cfg, self.spec)
@@ -318,6 +374,10 @@ class VariantGradientMPC:
             np.asarray(reference["ref_angular_velocity"]).reshape(3)]).astype(np.float32)
 
         extra = self.extra_state.copy()
+        if self.spec.name == "kinodynamic":
+            extra = np.concatenate([
+                np.asarray(state[f"joint_{leg}"]).reshape(3)
+                for leg in ("FL", "FR", "RL", "RR")]).astype(np.float32)
         if self.spec.name == "lyapunov":
             # z1 = p - p_ref; z2 = (v - v_ref) + K1 z1 (transverse coordinates).
             z1 = x_base[0:3] - xref_base[0:3]
@@ -329,7 +389,23 @@ class VariantGradientMPC:
                                                            np.float32)]), (H, 1))
         n_st = np.maximum(seq.sum(axis=0), 1.0)
         share = cfg.robot.mass * cfg.gravity / n_st
-        if self.spec.name == "input_rates":
+        if self.spec.name == "kinodynamic":
+            # Joint reference from the analytic IK of the reference footholds.
+            from ...kinematics.leg_ik import LegKinematics
+            from ...utils.frames import euler_xyz_to_rot
+            import jax.numpy as _jnp
+            kin = getattr(self, "_kin", None) or LegKinematics(cfg.robot)
+            self._kin = kin
+            R = euler_xyz_to_rot(_jnp.asarray(xref_base[6:9]))
+            q_ref = np.asarray(kin.ik_world(
+                _jnp.asarray(ref_feet[:, 0, :], _jnp.float32),
+                _jnp.asarray(x_base[0:3] * 0 + np.array([x_base[0], x_base[1], xref_base[2]],
+                                                        np.float32)), R)).reshape(12)
+            Xref[:, 12:24] = q_ref
+            Uref = np.zeros((H, 24), np.float32)
+            for leg in range(4):
+                Uref[:, 12 + leg * 3 + 2] = share * seq[leg]
+        elif self.spec.name == "input_rates":
             # Force references live in the STATE reference; rate reference is zero.
             for leg in range(4):
                 Xref[:, 12 + leg * 3 + 2] = share * seq[leg]
@@ -363,6 +439,11 @@ class VariantGradientMPC:
                 self.extra_state[6:9] = phi + cfg.mpc.dt * (-z2)
             if self.spec.name in ("collaborative", "input_rates"):
                 self.extra_state = np.asarray(out.X[1][12:])
+            if self.spec.name == "kinodynamic":
+                # Joint trajectories consumed directly by the swing controller
+                # (reference srbd_controller_interface.py:184-207).
+                self.nmpc_joints_pos = np.asarray(out.X[1:, 12:24])
+                self.nmpc_joints_vel = np.asarray(out.U[:, :12])
             self.previous_grfs = grfs
             self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
             status = 0

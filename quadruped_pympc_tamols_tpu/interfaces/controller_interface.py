@@ -31,7 +31,7 @@ class SRBDControllerInterface:
         elif self.type == "nominal":
             from ..controllers.gradient.sqp import GradientMPC
             self.controller = GradientMPC(cfg)
-        elif self.type in ("input_rates", "lyapunov", "collaborative"):
+        elif self.type in ("input_rates", "lyapunov", "collaborative", "kinodynamic"):
             from ..controllers.gradient.variants import VariantGradientMPC
             self.controller = VariantGradientMPC(cfg, self.type)
         else:

@@ -108,3 +108,29 @@ def test_dispatch_builds_variants():
         cfg = make_config("aliengo", mpc_type=t)
         iface = SRBDControllerInterface(cfg)
         assert iface.controller.spec.name == t
+
+
+def test_kinodynamic_standing():
+    cfg = make_config("aliengo", mpc_type="kinodynamic")
+    mpc = VariantGradientMPC(cfg, "kinodynamic")
+    state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.02)
+    # Nominal standing joints from IK round trip.
+    from quadruped_pympc_tamols_tpu.kinematics import LegKinematics
+    import jax.numpy as jnp
+    from quadruped_pympc_tamols_tpu.utils.frames import euler_xyz_to_rot
+    kin = LegKinematics(cfg.robot)
+    feet = np.stack([state[f"foot_{leg}"] for leg in ("FL", "FR", "RL", "RR")])
+    q0 = np.asarray(kin.ik_world(jnp.asarray(feet, jnp.float32),
+                                 jnp.asarray(state["position"], jnp.float32),
+                                 euler_xyz_to_rot(jnp.zeros(3))))
+    for i, leg in enumerate(("FL", "FR", "RL", "RR")):
+        state[f"joint_{leg}"] = q0[i]
+    seq = np.ones((4, cfg.mpc.horizon))
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    assert np.all(np.isfinite(grfs))
+    total = grfs[:, 2].sum()
+    w = cfg.robot.mass * 9.81
+    assert 0.4 * w < total < 2.5 * w, f"total fz {total:.1f}"
+    assert mpc.nmpc_joints_pos.shape == (cfg.mpc.horizon, 12)
+    assert np.all(np.isfinite(mpc.nmpc_joints_pos))
