@@ -109,11 +109,14 @@ class WBInterface:
             np.asarray(ref_base_lin_vel)[:2], hip_pos, cfg.sim.ref_z)
 
         # Terrain-aware foothold adaptation at the swing apex (reference :230-246).
+        # The compute runs once per swing when heightmaps are available; applying the
+        # stored adaptation and the full-stance reset do NOT depend on fresh sensing.
         ref_feet_constraints = None
-        if self.vfa is not None and heightmaps is not None:
-            if self.stc.check_apex_condition(self.current_contact, interval=0.01) \
+        if self.vfa is not None:
+            if heightmaps is not None \
+                    and self.stc.check_apex_condition(self.current_contact, interval=0.01) \
                     and not self.vfa.initialized:
-                res = self.vfa.compute_adaptation(
+                self.vfa.compute_adaptation(
                     heightmaps, np.asarray(ref_feet_pos.data),
                     np.asarray(hip_pos.data), np.asarray(base_pos),
                     np.asarray(base_lin_vel), self.current_contact,

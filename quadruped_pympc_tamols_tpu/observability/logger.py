@@ -1,0 +1,100 @@
+"""Observability: episode logging and profiling hooks.
+
+Counterparts of the reference's logging stack (SURVEY 5): the controller observables
+dict (quadruped_pympc_wrapper.py:205-243) is collected by the wrapper already; this
+module adds
+
+* EpisodeLogger — incremental, atomically-flushed trajectory recording of env +
+  controller observables (the role of MatLogger's .mat export and the H5 recorder,
+  simulation.py:78-376; saved as .npz which both numpy and MATLAB load, plus
+  optional .mat via scipy).
+* ProfileTimer — wall-clock section timing with percentile summaries (replaces the
+  reference's ad-hoc prints, e.g. centroidal_nmpc_gait_adaptive.py:1220-1228) and a
+  jax.profiler trace hook for on-device kernel inspection.
+"""
+from __future__ import annotations
+
+import collections
+import contextlib
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+class EpisodeLogger:
+    def __init__(self, path: str, flush_every: int = 50):
+        self.path = path
+        self.flush_every = flush_every
+        self.buffers: dict[str, list] = collections.defaultdict(list)
+        self._count = 0
+
+    def log(self, t: float, env, wrapper) -> None:
+        b = self.buffers
+        b["time"].append(t)
+        b["base_pos"].append(env.base_pos)
+        b["base_lin_vel"].append(env.base_lin_vel)
+        b["base_ori_euler_xyz"].append(env.base_ori_euler_xyz)
+        b["base_ang_vel"].append(env.base_ang_vel)
+        b["feet_pos"].append(np.asarray(env.feet_pos().data))
+        b["joints_pos"].append(np.asarray(env.joints_pos().data))
+        for name, value in wrapper.get_obs().items():
+            b[f"ctrl/{name}"].append(np.asarray(value, dtype=np.float64))
+        self._count += 1
+        if self._count % self.flush_every == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        """Atomic write (tmp + rename), like the reference MatLogger
+        (simulation.py:214-230)."""
+        arrays = {k.replace("/", "__"): np.asarray(v) for k, v in self.buffers.items()}
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+        os.close(fd)
+        np.savez_compressed(tmp, **arrays)
+        os.replace(tmp, self.path)
+
+    def save_mat(self, path: str | None = None) -> None:
+        """Optional MATLAB export (reference docs/MATLAB_LOGGING.md)."""
+        from scipy.io import savemat
+
+        arrays = {k.replace("/", "__"): np.asarray(v) for k, v in self.buffers.items()}
+        savemat(path or self.path.replace(".npz", ".mat"), arrays)
+
+
+class ProfileTimer:
+    """Named wall-clock sections with p50/p99 summaries."""
+
+    def __init__(self):
+        self.samples: dict[str, list] = collections.defaultdict(list)
+
+    @contextlib.contextmanager
+    def section(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.samples[name].append((time.perf_counter() - t0) * 1e3)
+
+    def summary(self) -> dict:
+        out = {}
+        for name, xs in self.samples.items():
+            a = np.asarray(xs)
+            out[name] = dict(count=len(a), mean_ms=float(a.mean()),
+                             p50_ms=float(np.percentile(a, 50)),
+                             p99_ms=float(np.percentile(a, 99)))
+        return out
+
+    @contextlib.contextmanager
+    def device_trace(self, logdir: str):
+        """jax.profiler trace for per-kernel device timing (view with TensorBoard
+        or xprof). First-class replacement for the reference's print-based timing."""
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()

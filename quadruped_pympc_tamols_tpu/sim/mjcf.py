@@ -1,0 +1,142 @@
+"""Parametric MJCF generation: quadruped robot + terrain scenes.
+
+The reference depends on gym_quadruped for robot models and scene XMLs (flat,
+random_boxes, perlin, ramp, slippery, stairs, stepping stones — reference
+config.py:275-279 and docs/STEPPING_STONES_TERRAIN.md). This framework is
+self-contained: the robot MJCF is generated from RobotParams so the MuJoCo model's
+kinematics match the analytic FK/IK exactly (kinematics/leg_ik.py), and terrain
+scenes are generated procedurally.
+"""
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from ..config import RobotParams
+
+
+def quadruped_mjcf(rp: RobotParams, scene: str = "flat", friction: float = 0.8,
+                   seed: int = 0) -> str:
+    """Build a complete MJCF scene string for the given robot + terrain."""
+    d = rp.hip_offset_y
+    l3, l4 = rp.thigh_length, rp.calf_length
+    trunk_x = rp.hip_x * 2 * 1.15
+    trunk_y = rp.hip_y * 2 + 0.04
+    trunk_z = 0.45 * rp.hip_height * 0.5
+
+    # Link masses: legs carry ~15% of the robot mass; the SRB controllers assume a
+    # heavy trunk, matching the reference robots.
+    m_leg = 0.15 * rp.mass / 4
+    m_hip, m_thigh, m_calf = 0.35 * m_leg, 0.45 * m_leg, 0.2 * m_leg
+    m_trunk = rp.mass - 4 * m_leg
+    I = rp.inertia_matrix()
+    fullinertia = f"{I[0,0]:.6f} {I[1,1]:.6f} {I[2,2]:.6f} {I[0,1]:.6f} {I[0,2]:.6f} {I[1,2]:.6f}"
+
+    tau_max = rp.mass * 9.81 * max(l3, l4) * 0.9  # ~54 Nm for aliengo (real: 44-55)
+
+    legs = []
+    for name, sx, sy in (("FL", 1, 1), ("FR", 1, -1), ("RL", -1, 1), ("RR", -1, -1)):
+        hip_pos = f"{sx * rp.hip_x:.4f} {sy * rp.hip_y:.4f} 0"
+        abd = f"0 {sy * d:.4f} 0"
+        legs.append(f"""
+      <body name="{name}_hip" pos="{hip_pos}">
+        <joint name="{name}_hip_joint" type="hinge" axis="1 0 0" range="-1.0 1.0" damping="0.01"/>
+        <geom type="cylinder" size="0.035 0.02" quat="0.707 0 0.707 0" mass="{m_hip:.3f}"/>
+        <body name="{name}_thigh" pos="{abd}">
+          <joint name="{name}_thigh_joint" type="hinge" axis="0 1 0" range="-2.5 2.5" damping="0.01"/>
+          <geom type="capsule" fromto="0 0 0  0 0 {-l3:.4f}" size="0.022" mass="{m_thigh:.3f}"/>
+          <body name="{name}_calf" pos="0 0 {-l3:.4f}">
+            <joint name="{name}_calf_joint" type="hinge" axis="0 1 0" range="-2.7 -0.3" damping="0.01"/>
+            <geom type="capsule" fromto="0 0 0  0 0 {-l4:.4f}" size="0.016" mass="{m_calf:.3f}"/>
+            <geom name="{name}_foot" type="sphere" pos="0 0 {-l4:.4f}" size="0.02"
+                  friction="{friction} 0.02 0.01" mass="0.05"/>
+            <site name="{name}_foot_site" pos="0 0 {-l4:.4f}" size="0.005"/>
+          </body>
+        </body>
+      </body>""")
+
+    actuators = "\n".join(
+        f'    <motor name="{leg}_{j}" joint="{leg}_{j}_joint" ctrlrange="{-tau_max:.1f} {tau_max:.1f}"/>'
+        for leg in ("FL", "FR", "RL", "RR") for j in ("hip", "thigh", "calf"))
+
+    start_z = rp.hip_height + 0.03 + _terrain_z0(scene)
+
+    return f"""<mujoco model="{rp.name}_qpympc">
+  <compiler angle="radian" autolimits="true"/>
+  <option timestep="0.002" integrator="Euler" gravity="0 0 -9.81"/>
+  <default>
+    <geom contype="1" conaffinity="1" condim="3" friction="{friction} 0.02 0.01"/>
+  </default>
+  <worldbody>
+{terrain_bodies(scene, friction, seed)}
+    <body name="trunk" pos="0 0 {start_z:.3f}">
+      <freejoint name="root"/>
+      <inertial pos="0 0 0" mass="{m_trunk:.3f}" fullinertia="{fullinertia}"/>
+      <geom type="box" size="{trunk_x/2:.3f} {trunk_y/2:.3f} {trunk_z:.3f}" mass="0"
+            contype="1" conaffinity="0"/>
+      <site name="imu" pos="0 0 0" size="0.01"/>
+{''.join(legs)}
+    </body>
+  </worldbody>
+  <actuator>
+{actuators}
+  </actuator>
+</mujoco>"""
+
+
+def _terrain_z0(scene: str) -> float:
+    return 0.0
+
+
+def terrain_bodies(scene: str, friction: float, seed: int = 0) -> str:
+    """Procedural terrain, mirroring the reference's built-in scenes
+    (config.py:275-279)."""
+    rng = np.random.default_rng(seed)
+    out = io.StringIO()
+    if scene == "flat":
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+    elif scene == "slippery":
+        out.write(f'    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" '
+                  f'friction="0.35 0.02 0.01"/>\n')
+    elif scene == "ramp":
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+        out.write('    <geom name="ramp" type="box" size="2 2 0.05" pos="2.5 0 0.3" '
+                  'euler="0 -0.26 0"/>\n')
+    elif scene == "stairs":
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+        for i in range(8):
+            h = 0.06 * (i + 1)
+            out.write(f'    <geom type="box" size="0.15 1.5 {h/2:.3f}" group="2" '
+                      f'pos="{1.0 + 0.3*i:.2f} 0 {h/2:.3f}"/>\n')
+    elif scene == "random_boxes":
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+        for i in range(40):
+            x, y = rng.uniform(0.8, 6.0), rng.uniform(-2.0, 2.0)
+            h = rng.uniform(0.02, 0.08)
+            s = rng.uniform(0.1, 0.3)
+            out.write(f'    <geom type="box" size="{s:.2f} {s:.2f} {h/2:.3f}" group="2" '
+                      f'pos="{x:.2f} {y:.2f} {h/2:.3f}"/>\n')
+    elif scene == "stepping_stones":
+        # Six-section course in the spirit of docs/STEPPING_STONES_TERRAIN.md:9-40:
+        # flat approach, stone field (r=0.15 m, 0.4 m spacing), flat exit; gaps drop.
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 -0.3" group="2"/>\n')
+        out.write('    <geom name="start" type="box" size="1.0 1.5 0.15" pos="-0.5 0 -0.15" group="2"/>\n')
+        for ix in range(6):
+            for iy in range(-2, 3):
+                x = 0.8 + 0.4 * ix + rng.uniform(-0.03, 0.03)
+                y = 0.4 * iy + rng.uniform(-0.03, 0.03)
+                out.write(f'    <geom type="cylinder" size="0.15 0.15" group="2" '
+                          f'pos="{x:.2f} {y:.2f} -0.15"/>\n')
+        out.write('    <geom name="end" type="box" size="1.0 1.5 0.15" pos="4.1 0 -0.15" group="2"/>\n')
+    elif scene == "perlin" or scene == "rough":
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+        for i in range(120):
+            x, y = rng.uniform(0.6, 8.0), rng.uniform(-2.5, 2.5)
+            h = rng.uniform(0.01, 0.05)
+            s = rng.uniform(0.08, 0.2)
+            out.write(f'    <geom type="box" size="{s:.2f} {s:.2f} {h/2:.3f}" group="2" '
+                      f'pos="{x:.2f} {y:.2f} {h/2:.3f}" euler="0 0 {rng.uniform(0,1.5):.2f}"/>\n')
+    else:
+        raise ValueError(f"unknown scene {scene!r}")
+    return out.getvalue()
