@@ -115,15 +115,20 @@ def test_controller_node_modes(mode):
         )
 
     try:
-        taus = []
-        for _ in range(12):
+        # The async modes must eventually produce nonzero stance torques; under
+        # CPU contention the background solver may need a while, so poll with a
+        # deadline instead of a fixed tick count.
+        deadline = time.time() + 20.0
+        tau_arr = np.zeros((4, 3))
+        while time.time() < deadline:
             tau, des_q, des_qd = node.control_tick(
                 provider, np.zeros(3), np.zeros(3), cfg.sim.dt)
-            taus.append(np.asarray(tau.data))
-            time.sleep(0.005)
-        # The async modes must eventually produce nonzero stance torques.
-        assert np.any(np.abs(taus[-1]) > 1.0), f"{mode}: no torque produced"
-        assert np.all(np.isfinite(taus[-1]))
+            tau_arr = np.asarray(tau.data)
+            if np.any(np.abs(tau_arr) > 1.0):
+                break
+            time.sleep(0.01)
+        assert np.any(np.abs(tau_arr) > 1.0), f"{mode}: no torque produced"
+        assert np.all(np.isfinite(tau_arr))
     finally:
         node.shutdown()
 
