@@ -16,6 +16,7 @@ from .variants import (
     make_input_rates_spec,
     make_kinodynamic_spec,
     make_lyapunov_spec,
+    make_nominal_spec,
     make_variant_solver,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "make_input_rates_spec",
     "make_kinodynamic_spec",
     "make_lyapunov_spec",
+    "make_nominal_spec",
     "make_variant_solver",
 ]

@@ -46,7 +46,7 @@ class VariantSpec:
     nu: int
     # dynamics(x_aug, u, feet, contact, dt) -> x_aug_next (discrete)
     dynamics: Callable
-    # stage_ineq(x_aug, u, contact, fz_max) -> residual vector c <= 0 (fixed length)
+    # stage_ineq(x_aug, u, contact, fz_max, feet) -> residual c <= 0 (fixed length)
     stage_ineq: Callable
     n_ineq: int
     q_diag: np.ndarray  # (nx,)
@@ -83,7 +83,7 @@ def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         base_n = base + dt * fd(base, feet, f.reshape(4, 3), contact, srbd)
         return jnp.concatenate([base_n, f + dt * u])
 
-    def stage_ineq(x, u, contact, fz_max):
+    def stage_ineq(x, u, contact, fz_max, feet):
         return _cone_residual(x[12:], contact, fz_max, mu, grf_min)
 
     return VariantSpec("input_rates", 24, 12, dynamics, stage_ineq, 24, q, r,
@@ -116,7 +116,7 @@ def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
         ).at[5].set(-K_yaw * base[11])
         return jnp.concatenate([base + dt * d, w_arm + dt * w_dot])
 
-    def stage_ineq(x, u, contact, fz_max):
+    def stage_ineq(x, u, contact, fz_max, feet):
         return _cone_residual(u, contact, fz_max, mu, grf_min)
 
     return VariantSpec("collaborative", 18, 12, dynamics, stage_ineq, 24, q, r,
@@ -156,7 +156,7 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return jnp.concatenate([base + dt * d, z1 + dt * z1_dot, z2 + dt * z2_dot,
                                 phi + dt * phi_dot])
 
-    def stage_ineq(x, u, contact, fz_max):
+    def stage_ineq(x, u, contact, fz_max, feet):
         cone = _cone_residual(u, contact, fz_max, mu, grf_min)
         z1, z2 = x[12:15], x[15:18]
         F_delta = jnp.sum(u.reshape(4, 3) * contact[:, None], axis=0)
@@ -203,7 +203,7 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
         return jnp.concatenate([base + dt * d, q12 + dt * qd])
 
-    def stage_ineq(x, u, contact, fz_max):
+    def stage_ineq(x, u, contact, fz_max, feet_unused):
         qd, grf = u[:12], u[12:]
         cone = _cone_residual(grf, contact, fz_max, mu, grf_min)
         # Stance-foot world velocity ~ 0: v = d(feet)/dt along the trajectory.
@@ -224,6 +224,67 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
     return VariantSpec("kinodynamic", 24, 24, dynamics, stage_ineq, 48, q, r,
                        grfs_of=lambda u, x: u[12:])
+
+
+def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """Plain SRB nominal OCP on the generalized core, with OPTIONAL support-polygon
+    stability constraints (reference centroidal_nmpc_nominal.py:277-381):
+
+    * use_static_stability: the CoM xy must stay within ``margin`` of the stance
+      support segment during 2-stance phases;
+    * use_zmp_stability: same for the ZMP approx p = com_xy - (com_z/g) * a_xy with
+      a_xy = sum(c_i f_xy,i)/m (linear in the forces given the state).
+
+    The trot/pace/crawl margins come from config (config.py:152-155); with 3+ feet in
+    stance the row is inactive (the polygon case adds little for the gaits used)."""
+    gp = cfg.mpc.gradient
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    use_stab = gp.use_static_stability or gp.use_zmp_stability
+    margin = {0: gp.trot_stability_margin, 1: gp.pace_stability_margin}.get(
+        int(cfg.gait_params.gait_type), gp.crawl_stability_margin)
+    m_robot = float(srbd.mass)
+    grav = float(srbd.gravity)
+
+    def dynamics(x, u, feet, contact, dt):
+        return x + dt * fd(x, feet, u.reshape(4, 3), contact, srbd)
+
+    def _support_residual(x, u, contact, feet):
+        # Support point: CoM xy, or ZMP via the linear-in-u approximation.
+        p = x[0:2]
+        if gp.use_zmp_stability:
+            a_xy = jnp.sum(u.reshape(4, 3)[:, :2] * contact[:, None], axis=0) / m_robot
+            p = p - (x[2] / grav) * a_xy
+        # Distance to the 2-stance support segment, selected by contact masks.
+        def seg_dist(i, j):
+            a, b = feet[i, :2], feet[j, :2]
+            v = b - a
+            t = jnp.clip(jnp.dot(p - a, v) / jnp.maximum(jnp.dot(v, v), 1e-9), 0.0, 1.0)
+            d = p - (a + t * v)
+            return jnp.sqrt(jnp.dot(d, d) + 1e-12)
+        # Diagonal pairs (trot) and lateral pairs (pace/bound) covered.
+        pair_masks = [
+            (0, 3, contact[0] * contact[3] * (1 - contact[1]) * (1 - contact[2])),
+            (1, 2, contact[1] * contact[2] * (1 - contact[0]) * (1 - contact[3])),
+            (0, 2, contact[0] * contact[2] * (1 - contact[1]) * (1 - contact[3])),
+            (1, 3, contact[1] * contact[3] * (1 - contact[0]) * (1 - contact[2])),
+            (0, 1, contact[0] * contact[1] * (1 - contact[2]) * (1 - contact[3])),
+            (2, 3, contact[2] * contact[3] * (1 - contact[0]) * (1 - contact[1])),
+        ]
+        res = jnp.float32(-1.0)  # inactive by default (3+ stance feet)
+        for i, j, mask in pair_masks:
+            res = jnp.where(mask > 0.5, seg_dist(i, j) - margin, res)
+        return res
+
+    def stage_ineq(x, u, contact, fz_max, feet):
+        cone = _cone_residual(u, contact, fz_max, mu, grf_min)
+        if not use_stab:
+            return cone
+        return jnp.concatenate([cone, _support_residual(x, u, contact, feet)[None]])
+
+    n_ineq = 25 if use_stab else 24
+    return VariantSpec("nominal", 12, 12, dynamics, stage_ineq, n_ineq,
+                       q_diag_gradient(), r_diag_gradient(cfg.robot.name),
+                       grfs_of=lambda u, x: u)
 
 
 # ---------------------------------------------------------------------------
@@ -290,12 +351,13 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
         # the prediction operator (x_k row k-1 of G), k=0 rows act on u only.
         fz_max = grf_max * contact_seq.T + 1e-3  # (H, 4)
 
-        def lin_con(x, u, c, fzm):
-            cval = spec.stage_ineq(x, u, c, fzm)
-            Cx = jax.jacfwd(lambda xx: spec.stage_ineq(xx, u, c, fzm))(x)
-            Cu = jax.jacfwd(lambda uu: spec.stage_ineq(x, uu, c, fzm))(u)
+        def lin_con(x, u, c, fzm, feet):
+            cval = spec.stage_ineq(x, u, c, fzm, feet)
+            Cx = jax.jacfwd(lambda xx: spec.stage_ineq(xx, u, c, fzm, feet))(x)
+            Cu = jax.jacfwd(lambda uu: spec.stage_ineq(x, uu, c, fzm, feet))(u)
             return cval, Cx, Cu
-        cval, Cx, Cu = jax.vmap(lin_con)(xbar[:-1], Ubar, contact_seq.T, fz_max)
+        cval, Cx, Cu = jax.vmap(lin_con)(xbar[:-1], Ubar, contact_seq.T, fz_max,
+                                         feet_traj)
 
         # Build C_big (H*m, H*nu): block-diag Cu + Cx_k @ G[k-1] rows for k >= 1.
         Cb = jnp.zeros((H * m, H * nu))
@@ -318,8 +380,11 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
         eu = U - Uref
         cost = jnp.sum(ex * ex * jnp.asarray(spec.q_diag)) + \
             jnp.sum(eu * eu * jnp.asarray(spec.r_diag))
-        # Variants with force states report the post-first-stage force X[1].
-        grfs = spec.grfs_of(U[0], X[1]).reshape(4, 3) * contact_seq[:, 0:1]
+        # Variants with force states report the post-first-stage force X[1]
+        # (X[2] under use_input_prediction, compensating control latency —
+        # reference config.py:144-147, input_rates controller :52).
+        x_for_grf = X[2] if (spec.name == "input_rates" and gp.use_input_prediction) else X[1]
+        grfs = spec.grfs_of(U[0], x_for_grf).reshape(4, 3) * contact_seq[:, 0:1]
         return VariantSolution(U, X, grfs, X[1][:12], cost, sol.gap)
 
     return jax.jit(solve), OCPDims(nx=nx, nu=nu, horizon=H)
@@ -335,7 +400,9 @@ class VariantGradientMPC:
     def __init__(self, cfg: Config, variant: str):
         self.cfg = cfg
         srbd = make_params(cfg)
-        if variant == "input_rates":
+        if variant == "nominal":
+            self.spec = make_nominal_spec(cfg, srbd)
+        elif variant == "input_rates":
             self.spec = make_input_rates_spec(cfg, srbd)
         elif variant == "collaborative":
             self.spec = make_collaborative_spec(cfg, srbd)

@@ -29,8 +29,12 @@ class SRBDControllerInterface:
                 from ..controllers.sampling.sampling_mpc import SamplingMPC
                 self.controller = SamplingMPC(cfg, seed=seed)
         elif self.type == "nominal":
-            from ..controllers.gradient.sqp import GradientMPC
-            self.controller = GradientMPC(cfg)
+            if cfg.mpc.gradient.use_static_stability or cfg.mpc.gradient.use_zmp_stability:
+                from ..controllers.gradient.variants import VariantGradientMPC
+                self.controller = VariantGradientMPC(cfg, "nominal")
+            else:
+                from ..controllers.gradient.sqp import GradientMPC
+                self.controller = GradientMPC(cfg)
         elif self.type in ("input_rates", "lyapunov", "collaborative", "kinodynamic"):
             from ..controllers.gradient.variants import VariantGradientMPC
             self.controller = VariantGradientMPC(cfg, self.type)

@@ -51,9 +51,9 @@ class EpisodeLogger:
         arrays = {k.replace("/", "__"): np.asarray(v) for k, v in self.buffers.items()}
         d = os.path.dirname(os.path.abspath(self.path)) or "."
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
         os.close(fd)
-        np.savez_compressed(tmp, **arrays)
+        np.savez_compressed(tmp, **arrays)  # numpy keeps the name (ends with .npz)
         os.replace(tmp, self.path)
 
     def save_mat(self, path: str | None = None) -> None:

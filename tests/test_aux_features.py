@@ -1,0 +1,112 @@
+"""Auxiliary feature coverage: nonuniform discretization, start-stop gait,
+dataset generation, offline ZMP analysis, input prediction."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_pympc_tamols_tpu import GAITS, make_config, replace_config
+from quadruped_pympc_tamols_tpu.config import GAIT_PHASE_OFFSETS, GaitType
+from quadruped_pympc_tamols_tpu.gait import PeriodicGaitGenerator, make_timer_dts
+from quadruped_pympc_tamols_tpu.utils.legs import Legs
+
+
+def test_nonuniform_discretization_dts_and_timer():
+    cfg = make_config("aliengo")
+    cfg = replace_config(cfg, **{"mpc.use_nonuniform_discretization": True})
+    dts = cfg.mpc.dts()
+    assert dts.shape == (12,)
+    np.testing.assert_allclose(dts[:2], 0.01, rtol=1e-5)
+    np.testing.assert_allclose(dts[2:], 0.02, rtol=1e-5)
+    # Timer offsets: fine steps while i < horizon_fine_grained, then coarse
+    # (mirrors reference periodic_gait_generator.py:104-117 column stepping).
+    t = make_timer_dts(cfg.mpc)
+    assert t[0] == 0.0
+    np.testing.assert_allclose(np.diff(t)[0], 0.01, rtol=1e-4)
+    np.testing.assert_allclose(np.diff(t)[1:], 0.02, rtol=1e-4)
+
+
+def test_nonuniform_sampling_solver_runs():
+    from quadruped_pympc_tamols_tpu.controllers.sampling import SamplingMPC
+
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.use_nonuniform_discretization": True,
+                                 "mpc.sampling.num_samples": 128})
+    mpc = SamplingMPC(cfg, seed=0)
+    state = dict(position=np.array([0.0, 0.0, 0.33]), linear_velocity=np.zeros(3),
+                 orientation=np.zeros(3), angular_velocity=np.zeros(3),
+                 foot_FL=np.array([0.25, 0.15, 0.0]), foot_FR=np.array([0.25, -0.15, 0.0]),
+                 foot_RL=np.array([-0.25, 0.15, 0.0]), foot_RR=np.array([-0.25, -0.15, 0.0]))
+    ref = dict(ref_position=np.array([0.0, 0.0, 0.35]), ref_linear_velocity=np.zeros(3),
+               ref_orientation=np.zeros(3), ref_angular_velocity=np.zeros(3),
+               ref_foot_FL=state["foot_FL"], ref_foot_FR=state["foot_FR"],
+               ref_foot_RL=state["foot_RL"], ref_foot_RR=state["foot_RR"])
+    out = mpc.compute_control(state, ref, np.ones((4, 12)), np.ones(4), np.ones(4))
+    assert np.all(np.isfinite(np.asarray(out.grfs)))
+
+
+def test_start_and_stop_gait():
+    """Energy-saving start/stop (reference periodic_gait_generator.py:128-196):
+    idle + feet under hips -> full stance; motion command -> gait restored."""
+    cfg = make_config("aliengo")
+    pgg = PeriodicGaitGenerator(GAITS["trot"], cfg.mpc.horizon)
+    pgg.start_and_stop_activated = True
+    rp = cfg.robot
+    hips = Legs(np.array([[rp.hip_x, rp.hip_y, 0.35], [rp.hip_x, -rp.hip_y, 0.35],
+                          [-rp.hip_x, rp.hip_y, 0.35], [-rp.hip_x, -rp.hip_y, 0.35]]))
+    # Feet exactly under hips incl. the stance-width offset the check removes.
+    feet = np.asarray(hips.data).copy()
+    feet[:, 2] = 0.0
+    feet[:, 1] += 0.1 * np.array([1, -1, 1, -1])
+    feet = Legs(feet)
+    base = np.array([0.0, 0.0, 0.35])
+    pgg.update_start_and_stop(feet, hips, 0.1, base, np.zeros(3), np.zeros(3),
+                              np.zeros(3), np.zeros(3), np.zeros(3), np.ones(4))
+    assert pgg.gait_type == GaitType.FULL_STANCE
+    seq = pgg.compute_contact_sequence(make_timer_dts(cfg.mpc))
+    assert np.all(seq == 1.0)
+    # Commanded motion restores the previous gait.
+    pgg.update_start_and_stop(feet, hips, 0.1, base, np.zeros(3), np.zeros(3),
+                              np.zeros(3), np.array([0.3, 0, 0]), np.zeros(3),
+                              np.ones(4))
+    assert pgg.gait_type == GaitType.TROT
+
+
+def test_zmp_analysis_util():
+    from quadruped_pympc_tamols_tpu.utils.analysis import (
+        support_polygon_margin,
+        zmp_from_grfs,
+    )
+
+    feet = np.array([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                     [-0.25, 0.15, 0], [-0.25, -0.15, 0]], float)
+    grfs = np.tile([0.0, 0.0, 60.0], (4, 1))
+    zmp = zmp_from_grfs(np.zeros(3), grfs, feet, np.ones(4))
+    np.testing.assert_allclose(zmp, 0.0, atol=1e-9)  # symmetric load -> center
+    # 4-stance: center is inside the polygon.
+    assert support_polygon_margin(zmp, feet, np.ones(4)) > 0.1
+    # Outside point.
+    assert support_polygon_margin(np.array([1.0, 0.0]), feet, np.ones(4)) < 0
+    # Diagonal 2-stance: margin is minus the distance to the segment.
+    c2 = np.array([1.0, 0, 0, 1.0])
+    m = support_polygon_margin(np.array([0.0, 0.0]), feet, c2)
+    np.testing.assert_allclose(m, 0.0, atol=1e-9)  # center lies on the diagonal
+
+
+@pytest.mark.skipif(pytest.importorskip("mujoco") is None, reason="mujoco")
+def test_generate_dataset(tmp_path):
+    from quadruped_pympc_tamols_tpu.sim.generate_dataset import generate_dataset
+
+    cfg = make_config("aliengo", mpc_type="sampling", gait="full_stance")
+    cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 200,
+                                 "sim.visual_foothold_adaptation": "blind"})
+    paths = generate_dataset(cfg, str(tmp_path), num_episodes=1,
+                             episode_duration_s=0.3, vel_range=(0.0, 0.0))
+    assert os.path.exists(paths[0])
+    data = np.load(paths[0])
+    assert data["base_pos"].shape[0] > 100
+    assert "ctrl__nmpc_GRFs" in data
+    motion = np.load(os.path.join(tmp_path, "motion_0.npz"))
+    assert motion["fps"] == 50.0
+    assert motion["joints_pos"].shape[1:] == (4, 3)

@@ -134,3 +134,40 @@ def test_kinodynamic_standing():
     assert 0.4 * w < total < 2.5 * w, f"total fz {total:.1f}"
     assert mpc.nmpc_joints_pos.shape == (cfg.mpc.horizon, 12)
     assert np.all(np.isfinite(mpc.nmpc_joints_pos))
+
+
+def test_nominal_stability_constraint_zmp():
+    """With ZMP stability on, during a diagonal 2-stance the commanded forces keep
+    the ZMP within the margin of the support segment."""
+    from quadruped_pympc_tamols_tpu import replace_config
+    from quadruped_pympc_tamols_tpu.utils.analysis import support_polygon_margin
+
+    cfg = make_config("aliengo", mpc_type="nominal")
+    cfg = replace_config(cfg, **{"mpc.gradient.use_zmp_stability": True})
+    mpc = VariantGradientMPC(cfg, "nominal")
+    state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.02)
+    state["linear_velocity"] = np.array([0.2, 0.05, 0.0])
+    seq = np.ones((4, cfg.mpc.horizon))
+    seq[1, :] = 0.0  # FR swing
+    seq[2, :] = 0.0  # RL swing -> FL/RR diagonal stance
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    feet = np.stack([state[f"foot_{leg}"] for leg in ("FL", "FR", "RL", "RR")])
+    a_xy = (grfs[:, :2] * seq[:, 0:1]).sum(axis=0) / cfg.robot.mass
+    zmp = state["position"][:2] - (state["position"][2] / 9.81) * a_xy
+    margin = support_polygon_margin(zmp, feet, seq[:, 0])
+    # Distance to the diagonal segment must be within the configured margin (plus
+    # linearization slack).
+    assert -margin <= cfg.mpc.gradient.trot_stability_margin + 0.05, \
+        f"ZMP {-margin:.3f} m from support segment"
+
+
+def test_dispatch_uses_variant_core_for_stability():
+    from quadruped_pympc_tamols_tpu import replace_config
+    from quadruped_pympc_tamols_tpu.interfaces import SRBDControllerInterface
+
+    cfg = make_config("aliengo", mpc_type="nominal")
+    cfg = replace_config(cfg, **{"mpc.gradient.use_static_stability": True})
+    iface = SRBDControllerInterface(cfg)
+    assert iface.controller.spec.name == "nominal"
+    assert iface.controller.spec.n_ineq == 25
