@@ -49,16 +49,32 @@ def r_diag_gradient(robot: str = "aliengo") -> np.ndarray:
     return np.full(12, v, dtype=np.float32)
 
 
-def step_fn(x, u, feet, contact, params: SRBDParams, dt, integrator: str = "euler"):
-    """Discrete dynamics x_{k+1} = F(x_k, u_k); u is the stacked (12,) GRF vector."""
+def step_fn(x, u, feet, contact, params: SRBDParams, dt, integrator: str = "euler",
+            ext_wrench=None):
+    """Discrete dynamics x_{k+1} = F(x_k, u_k); u is the stacked (12,) GRF vector.
+
+    ``ext_wrench`` (6,) = world-frame external [force, torque] entering the balance
+    exactly like the reference's wrench parameters (centroidal_model_nominal.py
+    external_wrench params; config external_wrenches_compensation)."""
     forces = u.reshape(4, 3)
+
+    def f(xx):
+        d = fd(xx, feet, forces, contact, params)
+        if ext_wrench is not None:
+            from ...utils.frames import world_to_body_rot
+
+            d = d.at[3:6].add(ext_wrench[:3] / params.mass)
+            tau_b = world_to_body_rot(xx[6:9]) @ ext_wrench[3:]
+            d = d.at[9:12].add(jnp.asarray(params.inertia_inv) @ tau_b)
+        return d
+
     if integrator == "rk4":
-        k1 = fd(x, feet, forces, contact, params)
-        k2 = fd(x + 0.5 * dt * k1, feet, forces, contact, params)
-        k3 = fd(x + 0.5 * dt * k2, feet, forces, contact, params)
-        k4 = fd(x + dt * k3, feet, forces, contact, params)
+        k1 = f(x)
+        k2 = f(x + 0.5 * dt * k1)
+        k3 = f(x + 0.5 * dt * k2)
+        k4 = f(x + dt * k3)
         return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
-    return x + dt * fd(x, feet, forces, contact, params)
+    return x + dt * f(x)
 
 
 class Linearization(NamedTuple):
@@ -67,22 +83,26 @@ class Linearization(NamedTuple):
     xbar: jnp.ndarray  # (H+1, nx) nominal rollout
 
 
-def rollout_nominal(x0, U, feet_traj, contact_seq, params, dts, integrator="euler"):
+def rollout_nominal(x0, U, feet_traj, contact_seq, params, dts, integrator="euler",
+                    ext_wrench=None):
     """Forward-simulate the nominal trajectory under the input sequence U (H, nu)."""
     def body(x, inp):
         u, feet, c, dt = inp
-        xn = step_fn(x, u, feet, c, params, dt, integrator)
+        xn = step_fn(x, u, feet, c, params, dt, integrator, ext_wrench)
         return xn, xn
 
     _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts))
     return jnp.concatenate([x0[None], xs], axis=0)  # (H+1, nx)
 
 
-def linearize_dynamics(xbar, U, feet_traj, contact_seq, params, dts, integrator="euler"):
+def linearize_dynamics(xbar, U, feet_traj, contact_seq, params, dts, integrator="euler",
+                       ext_wrench=None):
     """Stage Jacobians A_k = dF/dx, B_k = dF/du along the nominal trajectory."""
     def jac(x, u, feet, c, dt):
-        A = jax.jacfwd(lambda xx: step_fn(xx, u, feet, c, params, dt, integrator))(x)
-        B = jax.jacfwd(lambda uu: step_fn(x, uu, feet, c, params, dt, integrator))(u)
+        A = jax.jacfwd(lambda xx: step_fn(xx, u, feet, c, params, dt, integrator,
+                                          ext_wrench))(x)
+        B = jax.jacfwd(lambda uu: step_fn(x, uu, feet, c, params, dt, integrator,
+                                          ext_wrench))(u)
         return A, B
 
     A, B = jax.vmap(jac)(xbar[:-1], U, feet_traj, contact_seq.T, dts)

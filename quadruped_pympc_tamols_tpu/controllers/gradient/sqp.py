@@ -73,22 +73,32 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
     C_big = np.kron(np.eye(H, dtype=np.float32), C_single)  # (24H, 12H), host numpy
     iters = _qp_iters(gp)
     lm = gp.levenberg_marquardt
-    sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
+    # RTI: one GN iteration per tick; AS-RTI-A..D add as_rti_iter extra iterations
+    # (the reference runs those as approximate solves in acados' preparation phase,
+    # arXiv:2403.07101; with a ~1 ms fused solve they run synchronously here).
+    if gp.use_RTI:
+        extra = gp.as_rti_iter if gp.as_rti_type != "Standard" else 0
+        sqp_iters = 1 + max(0, extra)
+    else:
+        sqp_iters = max(1, gp.num_qp_iterations)
 
     def _stage_d(contact_seq):
         _, d = friction_cone_rows(cfg.mpc.mu, cfg.mpc.grf_min, cfg.mpc.grf_max,
                                   contact_seq, dims)
         return d.reshape(-1)  # (24H,)
 
-    def _objective(x0, U, feet_traj, contact_seq, Xref, Uref):
-        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator)
+    def _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench):
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator,
+                             wrench)
         ex = xs[1:] - Xref
         eu = U - Uref
         return jnp.sum(ex * ex * q_diag) + jnp.sum(eu * eu * r_diag)
 
-    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big):
-        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, srbd, dts, integrator)
-        lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, srbd, dts, integrator)
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big, wrench):
+        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, srbd, dts, integrator,
+                               wrench)
+        lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, srbd, dts,
+                                 integrator, wrench)
         Fm, Gm = condense(lin, dims)
         # dx0 = 0: the rollout starts at the measured state.
         e = xbar[1:] - Xref  # (H, nx)
@@ -102,13 +112,15 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
         U = Ubar + sol.z.reshape(H, nu)
         return U, sol
 
-    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None):
+        wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
         d_big = _stage_d(contact_seq)
         U = U_warm
         for _ in range(sqp_iters):  # static small loop
-            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big)
-        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref)
-        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator)
+            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big, wrench)
+        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench)
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator,
+                             wrench)
         grfs = U[0].reshape(4, 3)
         return RTISolution(U, grfs, xs[1], cost, sol.gap, sol.primal_res)
 
@@ -190,8 +202,11 @@ class GradientMPC:
         seq = np.asarray(contact_sequence, np.float32)[:, : self.dims.horizon]
         x0, feet_traj = self._build_inputs(state, reference, seq)
         Xref, Uref = self._build_refs(state, reference, seq)
+        wrench = jnp.zeros(6) if (external_wrenches is None
+                                  or not self.cfg.mpc.gradient.external_wrenches_compensation) \
+            else jnp.asarray(np.asarray(external_wrenches).reshape(6), jnp.float32)
         out = self.solve(x0, feet_traj, jnp.asarray(seq), Xref, Uref,
-                         jnp.asarray(self.U_warm))
+                         jnp.asarray(self.U_warm), wrench)
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.
@@ -201,7 +216,7 @@ class GradientMPC:
             predicted = x0
         else:
             grfs = np.asarray(out.grfs) * seq[:, 0:1]
-            self.previous_grfs = grfs
+            self.previous_grfs = grfs.copy()
             # Shift warm start one stage (RTI-style).
             self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
             status = 0
@@ -225,9 +240,10 @@ class GradientMPC:
         return None
 
     def reset(self):
-        self.U_warm[:] = 0.0
-        self.integral[:] = 0.0
-        self.previous_grfs[:] = 0.0
+        # Rebind (never zero in place): returned arrays may alias these.
+        self.U_warm = np.zeros_like(self.U_warm)
+        self.integral = np.zeros_like(self.integral)
+        self.previous_grfs = np.zeros_like(self.previous_grfs)
 
 
 class BatchedGradientMPC:

@@ -511,7 +511,7 @@ class VariantGradientMPC:
                 # (reference srbd_controller_interface.py:184-207).
                 self.nmpc_joints_pos = np.asarray(out.X[1:, 12:24])
                 self.nmpc_joints_vel = np.asarray(out.U[:, :12])
-            self.previous_grfs = grfs
+            self.previous_grfs = grfs.copy()
             self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
             status = 0
             predicted = np.asarray(out.predicted_state)
@@ -526,6 +526,7 @@ class VariantGradientMPC:
         return grfs, fh, predicted, status, float(out.cost)
 
     def reset(self):
-        self.U_warm[:] = 0.0
-        self.extra_state[:] = 0.0
-        self.previous_grfs[:] = 0.0
+        # Rebind (never zero in place): returned arrays may alias these.
+        self.U_warm = np.zeros_like(self.U_warm)
+        self.extra_state = np.zeros_like(self.extra_state)
+        self.previous_grfs = np.zeros_like(self.previous_grfs)

@@ -142,3 +142,36 @@ def test_batched_gait_optimization():
     assert best in cfg.mpc.step_freq_available
     # Standing at the reference: full stance (candidate 0) should win.
     assert best == cfg.mpc.step_freq_available[0]
+
+
+def test_as_rti_levels_run():
+    """AS-RTI-A..D map to extra synchronous GN iterations (reference config.py:126-130)."""
+    from quadruped_pympc_tamols_tpu import replace_config
+
+    cfg = make_config("aliengo", mpc_type="nominal")
+    cfg = replace_config(cfg, **{"mpc.gradient.use_RTI": True,
+                                 "mpc.gradient.as_rti_type": "AS-RTI-B",
+                                 "mpc.gradient.as_rti_iter": 2})
+    mpc = GradientMPC(cfg)
+    state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.03)
+    seq = np.ones((4, cfg.mpc.horizon))
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    assert grfs[:, 2].sum() > cfg.robot.mass * 9.81
+
+
+def test_external_wrench_compensation():
+    """A steady downward external force must raise the commanded total Fz by about
+    the same amount (reference external_wrenches_compensation, config.py:156-159)."""
+    cfg = make_config("aliengo", mpc_type="nominal")
+    mpc = GradientMPC(cfg)
+    state, ref = _standing(cfg)
+    seq = np.ones((4, cfg.mpc.horizon))
+    for _ in range(8):  # converge the RTI warm start
+        g0, *_ = mpc.compute_control(state, ref, seq)
+    mpc.reset()
+    push_down = np.array([0.0, 0.0, -50.0, 0.0, 0.0, 0.0])
+    for _ in range(8):
+        g1, *_ = mpc.compute_control(state, ref, seq, external_wrenches=push_down)
+    extra = g1[:, 2].sum() - g0[:, 2].sum()
+    assert 30.0 < extra < 70.0, f"wrench compensation produced {extra:.1f} N"
