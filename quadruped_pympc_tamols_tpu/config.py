@@ -223,6 +223,7 @@ class GradientParams:
     as_rti_type: str = "Standard"  # Standard | AS-RTI-A..D
     as_rti_iter: int = 1
     use_DDP: bool = False
+    ddp_iters: int = 4
     num_qp_iterations: int = 1
     solver_mode: str = "balance"  # balance | robust | speed | crazy_speed
     use_warm_start: bool = False

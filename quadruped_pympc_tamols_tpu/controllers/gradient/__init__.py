@@ -7,6 +7,7 @@ from .ocp import (
     q_diag_gradient,
     r_diag_gradient,
 )
+from .ddp import make_ddp_solver, project_cone
 from .qp import QPSolution, pdip_solve
 from .sqp import BatchedGradientMPC, GradientMPC, RTISolution, make_rti_solver
 from .variants import (
@@ -30,6 +31,8 @@ __all__ = [
     "r_diag_gradient",
     "QPSolution",
     "pdip_solve",
+    "make_ddp_solver",
+    "project_cone",
     "BatchedGradientMPC",
     "GradientMPC",
     "RTISolution",

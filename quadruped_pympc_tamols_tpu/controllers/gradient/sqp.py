@@ -138,7 +138,13 @@ class GradientMPC:
 
     def __init__(self, cfg: Config, integrator: str = "euler"):
         self.cfg = cfg
-        self.solve, self.dims = make_rti_solver(cfg, integrator)
+        if cfg.mpc.gradient.use_DDP:
+            # DDP nlp-solver option (reference config.py use_DDP): Riccati backward
+            # pass + projected forward rollout instead of the condensed IP QP.
+            from .ddp import make_ddp_solver
+            self.solve, self.dims = make_ddp_solver(cfg, integrator)
+        else:
+            self.solve, self.dims = make_rti_solver(cfg, integrator)
         H = self.dims.horizon
         self.U_warm = np.zeros((H, 12), np.float32)
         self.previous_grfs = np.zeros((4, 3), np.float32)

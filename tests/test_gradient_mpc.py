@@ -175,3 +175,47 @@ def test_external_wrench_compensation():
         g1, *_ = mpc.compute_control(state, ref, seq, external_wrenches=push_down)
     extra = g1[:, 2].sum() - g0[:, 2].sum()
     assert 30.0 < extra < 70.0, f"wrench compensation produced {extra:.1f} N"
+
+
+def test_ddp_standing_equilibrium():
+    """The DDP solver option (use_DDP) reaches the same gravity-share equilibrium as
+    the condensed-QP path on a four-leg stance."""
+    cfg = make_config("aliengo", mpc_type="nominal", **{"mpc.gradient.use_DDP": True})
+    mpc = GradientMPC(cfg)
+    state, ref = _standing(cfg)
+    seq = np.ones((4, cfg.mpc.horizon))
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    share = cfg.robot.mass * 9.81 / 4
+    np.testing.assert_allclose(grfs[:, 2], share, rtol=0.05)
+    # Forward-pass projection keeps the solution inside the cone by construction.
+    assert np.all(np.abs(grfs[:, 0]) <= cfg.mpc.mu * grfs[:, 2] + 1e-4)
+    assert np.all(np.abs(grfs[:, 1]) <= cfg.mpc.mu * grfs[:, 2] + 1e-4)
+    assert np.all(grfs[:, 2] <= cfg.mpc.grf_max + 1e-3)
+
+
+def test_ddp_matches_sqp_cost():
+    """On a trot stance below reference height, DDP's nonlinear objective lands within
+    a few percent of the interior-point SQP answer."""
+    cfg_sqp = make_config("aliengo", mpc_type="nominal")
+    cfg_ddp = make_config("aliengo", mpc_type="nominal",
+                          **{"mpc.gradient.use_DDP": True, "mpc.gradient.ddp_iters": 6})
+    state, ref = _standing(cfg_sqp, z=cfg_sqp.sim.ref_z - 0.04)
+    seq = np.ones((4, cfg_sqp.mpc.horizon))
+    seq[1, 3:9] = 0.0
+    seq[2, 3:9] = 0.0
+    *_, cost_sqp = GradientMPC(cfg_sqp).compute_control(state, ref, seq)
+    grfs, *_, cost_ddp = GradientMPC(cfg_ddp).compute_control(state, ref, seq)
+    assert np.all(np.isfinite(grfs))
+    assert cost_ddp <= cost_sqp * 1.10 + 1.0
+
+
+def test_ddp_swing_legs_zero_force():
+    cfg = make_config("aliengo", mpc_type="nominal", **{"mpc.gradient.use_DDP": True})
+    mpc = GradientMPC(cfg)
+    state, ref = _standing(cfg)
+    seq = np.ones((4, cfg.mpc.horizon))
+    seq[1, :] = 0.0
+    grfs, *_ = mpc.compute_control(state, ref, seq)
+    np.testing.assert_allclose(grfs[1], 0.0, atol=1e-6)
+    assert grfs[[0, 2, 3], 2].sum() > cfg.robot.mass * 9.81 * 0.8
