@@ -20,6 +20,7 @@ from .config import (
     TamolsParams,
     make_config,
     replace_config,
+    validate_config,
     ROBOTS,
     GAITS,
     LEGS,

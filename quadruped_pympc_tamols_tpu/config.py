@@ -69,6 +69,11 @@ class RobotParams:
     calf_length: float = 0.25
     hip_x: float = 0.2399
     hip_y: float = 0.051
+    # Per-joint (lower, upper) limits for (hip-roll, hip-pitch, knee); used by the
+    # QP IK's box constraints (counterpart of the URDF limits the reference's QP IK
+    # reads through Pinocchio, inverse_kinematics_qp.py:33-49).
+    joint_limits: Tuple[Tuple[float, float], ...] = (
+        (-0.87, 0.87), (-1.0, 3.9), (-2.77, -0.60))
 
     def inertia_matrix(self) -> np.ndarray:
         return np.asarray(self.inertia, dtype=np.float64)
@@ -324,6 +329,9 @@ class SimParams:
     step_height: float = 0.105  # 0.3*hip_height by default; rebuilt in make_config
     ref_z: float = 0.35  # hip_height by default
     visual_foothold_adaptation: str = "tamols"  # 'blind'|'height'|'tamols'
+    # IK backend (reference wb_interface.py:10-11 selects by import):
+    # 'analytic' (closed form, default) | 'numeric' (damped LS) | 'qp' (joint-limit QP).
+    ik_solver: str = "analytic"
     reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
     reflex_max_step_height: float = 0.175  # 0.5*hip_height
     velocity_modulator: bool = True
@@ -366,7 +374,34 @@ def make_config(
     cfg = Config(robot=rp, mpc=mpc, sim=sim, gait_params=GAITS[gait], tamols=tam)
     if overrides:
         cfg = replace_config(cfg, **overrides)
+    validate_config(cfg)
     return cfg
+
+
+_ENUM_FIELDS = {
+    "mpc.type": ("sampling", "nominal", "input_rates", "lyapunov", "collaborative",
+                 "kinodynamic"),
+    "mpc.sampling.method": ("random_sampling", "mppi", "cem_mppi"),
+    "mpc.sampling.parametrization": ("zero_order", "linear_spline", "cubic_spline"),
+    "mpc.gradient.solver_mode": ("balance", "robust", "speed", "crazy_speed"),
+    "mpc.gradient.as_rti_type": ("Standard", "AS-RTI-A", "AS-RTI-B", "AS-RTI-C",
+                                 "AS-RTI-D"),
+    "sim.swing_generator": ("bezier_ref", "scipy", "explicit"),
+    "sim.visual_foothold_adaptation": ("blind", "height", "tamols"),
+    "sim.reflex_trigger_mode": ("tracking", "geom_contact", "off"),
+    "sim.ik_solver": ("analytic", "numeric", "qp"),
+}
+
+
+def validate_config(cfg: Config) -> None:
+    """Eager enum validation so a typo fails at construction, not at first solve
+    (the reference's untyped dict config fails late; see SURVEY §5 config notes)."""
+    for path, allowed in _ENUM_FIELDS.items():
+        obj = cfg
+        for p in path.split("."):
+            obj = getattr(obj, p)
+        if obj not in allowed:
+            raise ValueError(f"config {path}={obj!r} not in {allowed}")
 
 
 def replace_config(cfg: Config, **overrides) -> Config:

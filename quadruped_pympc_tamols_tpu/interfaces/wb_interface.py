@@ -47,7 +47,14 @@ class WBInterface:
             reflex_max_step_height=cfg.sim.reflex_max_step_height,
         )
         self.terrain_estimator = TerrainEstimator()
-        self.ik = LegKinematics(cfg.robot)
+        if cfg.sim.ik_solver == "numeric":
+            from ..kinematics.ik_solvers import NumericIK
+            self.ik = NumericIK(cfg.robot)
+        elif cfg.sim.ik_solver == "qp":
+            from ..kinematics.ik_solvers import QPIK
+            self.ik = QPIK(cfg.robot)
+        else:
+            self.ik = LegKinematics(cfg.robot)
         self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
         self.esd = EarlyStanceDetector(
             trigger_mode=cfg.sim.reflex_trigger_mode,
