@@ -237,6 +237,10 @@ class GradientParams:
     integrator_cap: Tuple[float, ...] = (0.5, 0.2, 0.2, 0.0, 0.0, 1.0)
     use_foothold_optimization: bool = False
     use_foothold_constraints: bool = False
+    # Half-widths (x, y) of the foothold box around the reference foothold when
+    # use_foothold_constraints (the VFA/TAMOLS box emission,
+    # visual_foothold_adaptation.py:213-222).
+    foothold_box_halfwidth: Tuple[float, float] = (0.15, 0.1)
     use_static_stability: bool = False
     use_zmp_stability: bool = False
     trot_stability_margin: float = 0.04

@@ -14,6 +14,7 @@ from .variants import (
     VariantGradientMPC,
     VariantSpec,
     make_collaborative_spec,
+    make_foothold_spec,
     make_input_rates_spec,
     make_kinodynamic_spec,
     make_lyapunov_spec,
@@ -40,6 +41,7 @@ __all__ = [
     "VariantGradientMPC",
     "VariantSpec",
     "make_collaborative_spec",
+    "make_foothold_spec",
     "make_input_rates_spec",
     "make_kinodynamic_spec",
     "make_lyapunov_spec",

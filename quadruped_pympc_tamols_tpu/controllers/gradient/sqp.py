@@ -211,8 +211,12 @@ class GradientMPC:
         wrench = jnp.zeros(6) if (external_wrenches is None
                                   or not self.cfg.mpc.gradient.external_wrenches_compensation) \
             else jnp.asarray(np.asarray(external_wrenches).reshape(6), jnp.float32)
+        # Fresh warm starts seed from the gravity-share reference: at f = 0 the SRB
+        # torque balance has zero force/foothold sensitivity, which starves the first
+        # Gauss-Newton step (the reference warm-starts analogously, :1048-1113).
+        U_ws = Uref if not np.any(self.U_warm) else jnp.asarray(self.U_warm)
         out = self.solve(x0, feet_traj, jnp.asarray(seq), Xref, Uref,
-                         jnp.asarray(self.U_warm), wrench)
+                         U_ws, wrench)
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.

@@ -226,6 +226,46 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
                        grfs_of=lambda u, x: u[12:])
 
 
+def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """Nominal SRB with ON-DEVICE FOOTHOLD OPTIMIZATION (reference nominal OCP's
+    full form: nx=30 with 12 foot-position states, nu=24 with 12 foot velocities,
+    centroidal_model_nominal.py:24-119; selected by config use_foothold_optimization).
+
+    Foot-velocity inputs are gated by (1 - stance) exactly like the reference model
+    (:283-286), so stance feet are pinned and swing feet are decision variables that
+    settle on the optimized touchdown location. With use_foothold_constraints the
+    foot xy states are box-constrained around the reference foothold (the VFA/TAMOLS
+    box emission, visual_foothold_adaptation.py:213-222 and controller :384-427)."""
+    gp = cfg.mpc.gradient
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    hw_x, hw_y = gp.foothold_box_halfwidth
+    q = np.concatenate([q_diag_gradient(), np.full(12, 300.0, np.float32)])
+    r = np.concatenate([np.full(12, 1e-4, np.float32),  # foot velocity cost
+                        r_diag_gradient(cfg.robot.name)])
+
+    def dynamics(x, u, feet_unused, contact, dt):
+        base, feet12 = x[:12], x[12:]
+        v_feet, grf = u[:12], u[12:]
+        feet = feet12.reshape(4, 3)
+        d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
+        gate = 1.0 - jnp.repeat(contact, 3)  # swing feet move, stance feet pinned
+        return jnp.concatenate([base + dt * d, feet12 + dt * gate * v_feet])
+
+    def stage_ineq(x, u, contact, fz_max, feet_ref):
+        cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min)
+        if not gp.use_foothold_constraints:
+            return cone
+        feet = x[12:].reshape(4, 3)
+        dx = feet[:, 0] - feet_ref[:, 0]
+        dy = feet[:, 1] - feet_ref[:, 1]
+        box = jnp.concatenate([dx - hw_x, -dx - hw_x, dy - hw_y, -dy - hw_y])
+        return jnp.concatenate([cone, box])
+
+    n_ineq = 24 + (16 if gp.use_foothold_constraints else 0)
+    return VariantSpec("foothold", 24, 24, dynamics, stage_ineq, n_ineq, q, r,
+                       grfs_of=lambda u, x: u[12:])
+
+
 def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     """Plain SRB nominal OCP on the generalized core, with OPTIONAL support-polygon
     stability constraints (reference centroidal_nmpc_nominal.py:277-381):
@@ -401,7 +441,9 @@ class VariantGradientMPC:
         self.cfg = cfg
         srbd = make_params(cfg)
         if variant == "nominal":
-            self.spec = make_nominal_spec(cfg, srbd)
+            self.spec = (make_foothold_spec(cfg, srbd)
+                         if cfg.mpc.gradient.use_foothold_optimization
+                         else make_nominal_spec(cfg, srbd))
         elif variant == "input_rates":
             self.spec = make_input_rates_spec(cfg, srbd)
         elif variant == "collaborative":
@@ -441,6 +483,8 @@ class VariantGradientMPC:
             np.asarray(reference["ref_angular_velocity"]).reshape(3)]).astype(np.float32)
 
         extra = self.extra_state.copy()
+        if self.spec.name == "foothold":
+            extra = feet_now.reshape(12).astype(np.float32)
         if self.spec.name == "kinodynamic":
             extra = np.concatenate([
                 np.asarray(state[f"joint_{leg}"]).reshape(3)
@@ -472,6 +516,13 @@ class VariantGradientMPC:
             Uref = np.zeros((H, 24), np.float32)
             for leg in range(4):
                 Uref[:, 12 + leg * 3 + 2] = share * seq[leg]
+        elif self.spec.name == "foothold":
+            # Foot-state reference tracks the per-stage reference foothold
+            # trajectory; GRF references carry the gravity share.
+            Xref[:, 12:24] = feet_traj.reshape(H, 12)
+            Uref = np.zeros((H, 24), np.float32)
+            for leg in range(4):
+                Uref[:, 12 + leg * 3 + 2] = share * seq[leg]
         elif self.spec.name == "input_rates":
             # Force references live in the STATE reference; rate reference is zero.
             for leg in range(4):
@@ -484,9 +535,14 @@ class VariantGradientMPC:
             if self.spec.name == "lyapunov":
                 Uref[:] = 0.0  # forces are deltas over the stabilizing F*
 
+        # Fresh (all-zero) warm starts linearize at f = 0 where the SRB torque has no
+        # foothold/force sensitivity (d tau / d p = skew(.) f = 0); seed from the
+        # gravity-share reference instead (the reference warm-starts analogously,
+        # centroidal_nmpc_nominal.py:1048-1113).
+        U_ws = Uref if not np.any(self.U_warm) else self.U_warm
         out = self.solve(jnp.asarray(x0), jnp.asarray(feet_traj, dtype=jnp.float32),
                          jnp.asarray(seq), jnp.asarray(Xref), jnp.asarray(Uref),
-                         jnp.asarray(self.U_warm))
+                         jnp.asarray(U_ws))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             grfs, status, predicted = self.previous_grfs, 1, x_base
@@ -517,11 +573,20 @@ class VariantGradientMPC:
             predicted = np.asarray(out.predicted_state)
 
         fh = np.empty((4, 3), np.float32)
+        X_opt = np.asarray(out.X) if status == 0 else None
+        hw = np.asarray(cfg.mpc.gradient.foothold_box_halfwidth)
         for leg in range(4):
             fh[leg] = feet_traj[-1, leg]
             for k in range(1, H):
                 if seq[leg, k] == 1 and seq[leg, k - 1] == 0:
                     fh[leg] = feet_traj[k, leg]
+                    if self.spec.name == "foothold" and X_opt is not None:
+                        # Optimized touchdown location from the foot STATE, clipped
+                        # to the constraint box (reference :1455-1627).
+                        opt = X_opt[k, 12 + leg * 3: 12 + leg * 3 + 3]
+                        fh[leg, :2] = np.clip(opt[:2],
+                                              feet_traj[k, leg, :2] - hw,
+                                              feet_traj[k, leg, :2] + hw)
                     break
         return grfs, fh, predicted, status, float(out.cost)
 

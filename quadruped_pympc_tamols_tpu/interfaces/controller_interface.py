@@ -29,7 +29,9 @@ class SRBDControllerInterface:
                 from ..controllers.sampling.sampling_mpc import SamplingMPC
                 self.controller = SamplingMPC(cfg, seed=seed)
         elif self.type == "nominal":
-            if cfg.mpc.gradient.use_static_stability or cfg.mpc.gradient.use_zmp_stability:
+            if (cfg.mpc.gradient.use_static_stability
+                    or cfg.mpc.gradient.use_zmp_stability
+                    or cfg.mpc.gradient.use_foothold_optimization):
                 from ..controllers.gradient.variants import VariantGradientMPC
                 self.controller = VariantGradientMPC(cfg, "nominal")
             else:

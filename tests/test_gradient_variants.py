@@ -171,3 +171,54 @@ def test_dispatch_uses_variant_core_for_stability():
     iface = SRBDControllerInterface(cfg)
     assert iface.controller.spec.name == "nominal"
     assert iface.controller.spec.n_ineq == 25
+
+
+def test_foothold_optimization_runs_and_respects_box():
+    """use_foothold_optimization: feet become decision variables (nx=24, nu=24);
+    optimized touchdowns stay inside the constraint box around the reference."""
+    from quadruped_pympc_tamols_tpu.controllers.gradient import VariantGradientMPC
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"mpc.gradient.use_foothold_optimization": True,
+                         "mpc.gradient.use_foothold_constraints": True})
+    mpc = VariantGradientMPC(cfg, "nominal")
+    assert mpc.spec.name == "foothold"
+    assert mpc.spec.nx == 24 and mpc.spec.nu == 24
+
+    state, ref = _standing(cfg)
+    # FR swings and touches down mid-horizon; target foothold 6 cm forward.
+    seq = np.ones((4, cfg.mpc.horizon))
+    seq[1, :5] = 0.0
+    ref = dict(ref)
+    ref["ref_foot_FR"] = (np.asarray(state["foot_FR"]) + [0.06, 0.0, 0.0])[None]
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0 and np.isfinite(cost)
+    hw = np.asarray(cfg.mpc.gradient.foothold_box_halfwidth)
+    target = np.asarray(ref["ref_foot_FR"]).reshape(3)
+    assert np.all(np.abs(fh[1, :2] - target[:2]) <= hw + 1e-5)
+    # Stance legs keep their (pinned) current position as foothold.
+    np.testing.assert_allclose(fh[0], np.asarray(state["foot_FL"]).reshape(3),
+                               atol=1e-5)
+    # GRFs still on the cone.
+    st = seq[:, 0] == 1
+    assert np.all(np.abs(grfs[st, 0]) <= cfg.mpc.mu * grfs[st, 2] + 1e-3)
+
+
+def test_foothold_optimization_moves_foothold_under_disturbance():
+    """With a lateral velocity error the optimizer should shift the touchdown
+    location rather than return the raw reference."""
+    from quadruped_pympc_tamols_tpu.controllers.gradient import VariantGradientMPC
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"mpc.gradient.use_foothold_optimization": True})
+    mpc = VariantGradientMPC(cfg, "nominal")
+    state, ref = _standing(cfg)
+    state = dict(state)
+    state["linear_velocity"] = np.array([0.5, 0.3, 0.0])  # uncommanded drift
+    seq = np.ones((4, cfg.mpc.horizon))
+    seq[1, :5] = 0.0
+    seq[2, :5] = 0.0
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    moved = np.linalg.norm(fh[1, :2] - np.asarray(ref["ref_foot_FR"]).reshape(3)[:2])
+    assert moved > 1e-4  # the optimizer used the foothold degree of freedom
