@@ -40,6 +40,8 @@ def run_simulation(
     scene: str | None = None,
     use_heightmaps: bool | None = None,
     logger=None,
+    video_path: str | None = None,
+    video_fps: float = 30.0,
 ):
     """Run episodes; returns a list of EpisodeResult.
 
@@ -64,6 +66,10 @@ def run_simulation(
 
         wrapper = QuadrupedPyMPCWrapper(cfg, env.feet_pos(), seed=seed + ep)
         tau_max = np.asarray(env.model.actuator_ctrlrange[:, 1]).reshape(4, 3)
+        recorder = None
+        if video_path is not None:
+            from .video import VideoRecorder
+            recorder = VideoRecorder(env, video_path, fps=video_fps)
 
         n_steps = int(round(episode_duration_s / env.sim_dt))
         hist = np.zeros((n_steps, 12))
@@ -119,11 +125,15 @@ def run_simulation(
             height_err.append(abs(x[2] - cfg.sim.ref_z))
             if logger is not None:
                 logger.log(t * env.sim_dt, env, wrapper)
+            if recorder is not None:
+                recorder.maybe_capture(t * env.sim_dt, wrapper)
             if x[2] < 0.5 * cfg.sim.ref_z or abs(x[6]) > 0.8 or abs(x[7]) > 0.8:
                 fell = True
                 hist = hist[: t + 1]
                 break
 
+        if recorder is not None:
+            recorder.close(episode=ep)
         results.append(EpisodeResult(
             duration=len(hist) * env.sim_dt,
             distance=float(env.base_pos[0] - x0[0]),

@@ -67,3 +67,21 @@ def test_gradient_stands_full_physics():
                          ref_base_lin_vel=(0.0, 0.0), seed=0)[0]
     assert not res.fell
     assert res.mean_height_error < 0.08
+
+
+def test_video_recorder(tmp_path):
+    """Offscreen episode recording (gated: needs a GL backend, e.g. MUJOCO_GL=egl)."""
+    from quadruped_pympc_tamols_tpu.sim.video import rendering_available
+
+    if not rendering_available():
+        pytest.skip("no offscreen GL backend in this environment")
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    out = str(tmp_path / "ep%d.gif")
+    run_simulation(cfg, num_episodes=1, episode_duration_s=0.2,
+                   video_path=out, video_fps=10)
+    import os
+    assert os.path.exists(str(tmp_path / "ep0.gif"))
