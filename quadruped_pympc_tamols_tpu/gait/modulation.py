@@ -75,16 +75,41 @@ class EarlyStanceDetector:
                   and swing_time[leg] > swing_period - self.early_stance_time_threshold):
                 self.early_stance[leg] = False
             elif not self.early_stance[leg]:
-                disp = td[leg] - lo[leg]
-                local = (des[leg] - feet[leg]).squeeze()
-                nd = np.linalg.norm(disp)
-                nl = np.linalg.norm(local)
-                if nd > 0 and (nl / nd) > self.relative_tracking_error_threshold and \
-                        nl > self.absolute_min_distance_error_threshold:
-                    self.hitpoints[leg] = feet[leg].copy()
-                    self.hitmoments[leg] = float(swing_time[leg])
-                    self.early_stance[leg] = True
-                    continue
+                if self.trigger_mode == "geom_contact":
+                    # Physical-contact trigger (reference early_stance_detector.py:
+                    # 90-115): a swing-leg contact whose normal opposes the swing
+                    # direction within 60 degrees is a hit.
+                    pts = contact_points[leg] if contact_points is not None else None
+                    if pts is not None and len(pts) > 0:
+                        swing_dir = td[leg] - feet[leg]
+                        n_sd = np.linalg.norm(swing_dir)
+                        if n_sd > 1e-6:
+                            swing_dir = swing_dir / n_sd
+                            for pos, normal in pts:
+                                nn = np.linalg.norm(normal)
+                                if nn < 1e-9:
+                                    continue
+                                # Contact normal points INTO the foot; the obstacle
+                                # blocks the swing when it opposes the motion.
+                                cosang = -np.dot(normal / nn, swing_dir)
+                                if cosang > 0.5:  # < 60 deg
+                                    self.hitpoints[leg] = np.asarray(pos, float).copy()
+                                    self.hitmoments[leg] = float(swing_time[leg])
+                                    self.early_stance[leg] = True
+                                    break
+                    if self.early_stance[leg]:
+                        continue
+                else:
+                    disp = td[leg] - lo[leg]
+                    local = (des[leg] - feet[leg]).squeeze()
+                    nd = np.linalg.norm(disp)
+                    nl = np.linalg.norm(local)
+                    if nd > 0 and (nl / nd) > self.relative_tracking_error_threshold \
+                            and nl > self.absolute_min_distance_error_threshold:
+                        self.hitpoints[leg] = feet[leg].copy()
+                        self.hitmoments[leg] = float(swing_time[leg])
+                        self.early_stance[leg] = True
+                        continue
             if not self.early_stance[leg]:
                 self.hitmoments[leg] = -1.0
                 self.hitpoints[leg] = None

@@ -185,7 +185,7 @@ class WBInterface:
         feet_jac_dot: Legs, feet_pos: Legs, feet_vel: Legs, legs_qfrc_bias: Legs,
         legs_mass_matrix: Legs, nmpc_GRFs: Legs, nmpc_footholds: Legs,
         optimize_swing: int, best_sample_freq: float, base_pos=None, base_rpy=None,
-        legs_qfrc_passive: Legs | None = None,
+        legs_qfrc_passive: Legs | None = None, contact_points=None,
     ):
         """Returns (tau: Legs, des_joints_pos: Legs, des_joints_vel: Legs)."""
         if optimize_swing == 1:
@@ -197,7 +197,8 @@ class WBInterface:
         self.esd.update_detection(
             feet_pos, self.last_des_foot_pos, self.frg.lift_off_positions,
             nmpc_footholds, self.stc.swing_time, self.stc.swing_period,
-            self.current_contact, self.previous_contact)
+            self.current_contact, self.previous_contact,
+            contact_points=contact_points)
 
         # Stance torque tau = -J^T f (reference :369-372).
         tau = np.zeros((4, 3))

@@ -53,6 +53,7 @@ class QuadrupedPyMPCWrapper:
         qpos_js: Legs, qvel_js: Legs, feet_jac: Legs, feet_jac_dot: Legs,
         feet_vel: Legs, legs_qfrc_bias: Legs, legs_mass_matrix: Legs,
         legs_qfrc_passive: Legs | None = None, external_wrenches=None,
+        contact_points=None,
     ) -> Legs:
         """One control tick; returns joint torques (Legs of (3,))."""
         (state_current, ref_state, contact_sequence, step_height, optimize_swing) = \
@@ -82,7 +83,7 @@ class QuadrupedPyMPCWrapper:
             feet_vel, legs_qfrc_bias, legs_mass_matrix, self.nmpc_GRFs,
             self.nmpc_footholds, optimize_swing, self.best_sample_freq,
             base_pos=base_pos, base_rpy=base_ori_euler_xyz,
-            legs_qfrc_passive=legs_qfrc_passive)
+            legs_qfrc_passive=legs_qfrc_passive, contact_points=contact_points)
 
         self._collect_observables(ref_state, optimize_swing)
         self.des_joints_pos = des_q

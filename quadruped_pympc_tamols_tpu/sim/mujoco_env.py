@@ -168,6 +168,22 @@ class QuadrupedEnv:
                     out[k] = 1.0
         return out
 
+    def feet_contact_points(self) -> list:
+        """Per-leg list of (pos (3,), normal (3,)) world-frame contact points
+        (reference early_stance_detector.py:90-115 reads these from MuJoCo for the
+        geom_contact reflex trigger). The normal points from geom1 into geom2; it is
+        flipped so it always points INTO the foot."""
+        out: list = [[], [], [], []]
+        for c in self.data.contact[: self.data.ncon]:
+            for k, gid in enumerate(self._foot_geom_ids):
+                if c.geom1 == gid or c.geom2 == gid:
+                    # MuJoCo's contact normal points from geom1 toward geom2.
+                    normal = np.asarray(c.frame[:3]).copy()
+                    if c.geom1 == gid:
+                        normal = -normal
+                    out[k].append((np.asarray(c.pos).copy(), normal))
+        return out
+
     # -- terrain sensing ------------------------------------------------
     def heightmap(self, center_xy, yaw: float, rows: int = 13, cols: int = 7,
                   resolution: float = 0.04) -> GridHeightMap:

@@ -102,6 +102,9 @@ def run_simulation(
                 feet_vel=env.feet_vel(), legs_qfrc_bias=env.legs_qfrc_bias(),
                 legs_mass_matrix=env.legs_mass_matrix(),
                 legs_qfrc_passive=env.legs_qfrc_passive(),
+                contact_points=(env.feet_contact_points()
+                                if cfg.sim.reflex_trigger_mode == "geom_contact"
+                                else None),
             )
             # The reference's sim applies the feedforward torque directly
             # (simulation.py:683-696); the impedance joint PD runs onboard only in

@@ -110,3 +110,51 @@ def test_generate_dataset(tmp_path):
     motion = np.load(os.path.join(tmp_path, "motion_0.npz"))
     assert motion["fps"] == 50.0
     assert motion["joints_pos"].shape[1:] == (4, 3)
+
+
+def test_geom_contact_reflex_trigger():
+    """geom_contact mode: a swing-leg contact whose normal opposes the swing
+    direction (< 60 deg) triggers early stance; a grazing side contact does not."""
+    from quadruped_pympc_tamols_tpu.gait.modulation import EarlyStanceDetector
+
+    esd = EarlyStanceDetector(trigger_mode="geom_contact")
+    feet = Legs(np.array([[0.25, 0.15, 0.05], [0.25, -0.15, 0.05],
+                          [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]]))
+    td = Legs(np.asarray(feet.data) + np.array([0.1, 0.0, -0.05]))  # forward-down
+    lo = feet
+    swing_time = [0.05, 0.05, 0.0, 0.0]
+    current_contact = np.array([0, 0, 1, 1])
+    # FL hits a wall: normal pointing backward into the foot (opposes swing dir).
+    pts = [[(np.array([0.28, 0.15, 0.03]), np.array([-1.0, 0.0, 0.0]))],
+           # FR grazes sideways: normal orthogonal to the swing direction.
+           [(np.array([0.25, -0.17, 0.03]), np.array([0.0, 1.0, 0.0]))],
+           [], []]
+    esd.update_detection(feet, feet, lo, td, swing_time, 0.2, current_contact,
+                         contact_points=pts)
+    assert esd.early_stance[0] is True
+    assert esd.hitpoints[0] is not None
+    assert esd.hitmoments[0] == pytest.approx(0.05)
+    assert esd.early_stance[1] is False
+    # Touchdown clears the flag.
+    esd.update_detection(feet, feet, lo, td, swing_time, 0.2,
+                         np.array([1, 0, 1, 1]), contact_points=[[], [], [], []])
+    assert esd.early_stance[0] is False
+
+
+def test_env_feet_contact_points():
+    mujoco_mod = pytest.importorskip("mujoco")
+    del mujoco_mod
+    from quadruped_pympc_tamols_tpu.sim.mujoco_env import QuadrupedEnv
+
+    cfg = make_config("aliengo", **{"sim.visual_foothold_adaptation": "blind"})
+    env = QuadrupedEnv(cfg, scene="flat")
+    for _ in range(50):  # settle onto the ground
+        env.step(Legs(np.zeros((4, 3))))
+    pts = env.feet_contact_points()
+    assert len(pts) == 4
+    touching = [len(p) > 0 for p in pts]
+    assert any(touching)
+    for leg_pts in pts:
+        for pos, normal in leg_pts:
+            # Ground contact normal points up into the foot.
+            assert normal[2] > 0.7
