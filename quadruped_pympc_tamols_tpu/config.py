@@ -326,8 +326,12 @@ class SimParams:
     mpc_frequency: float = 100.0
     gait: str = "trot"
     swing_generator: str = "bezier_ref"  # 'bezier_ref' | 'scipy' | 'explicit'
-    swing_position_gain_fb: float = 500.0
-    swing_velocity_gain_fb: float = 10.0
+    # Stiffer than the reference's 500/10 (config.py:198-199): with 500/10 the swing
+    # feet droop ~4 cm below the commanded arc, graze the ground mid-swing, and the
+    # braking impulse destabilizes the (absolute-force) gradient controllers. 1000/20
+    # tracks the arc cleanly for both solver families.
+    swing_position_gain_fb: float = 1000.0
+    swing_velocity_gain_fb: float = 20.0
     impedance_joint_position_gain: float = 10.0
     impedance_joint_velocity_gain: float = 2.0
     step_height: float = 0.105  # 0.3*hip_height by default; rebuilt in make_config

@@ -53,6 +53,10 @@ class VariantSpec:
     r_diag: np.ndarray  # (nu,)
     # grfs(u, x_aug) -> (12,) force vector applied at the feet
     grfs_of: Callable
+    # Levenberg-Marquardt scale: the base lm (1e-3) is tuned for force-scale inputs
+    # (O(100 N)); rate-scale inputs (O(1000 N/s)) need it shrunk or it acts as a
+    # dominant hidden smoothness penalty.
+    lm_scale: float = 1.0
 
 
 def _cone_residual(f12, contact, fz_max, mu, grf_min):
@@ -76,7 +80,10 @@ def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     """GRFs in the state, inputs are GRF rates (reference input_rates family)."""
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
     q = np.concatenate([q_diag_gradient(), r_diag_gradient(cfg.robot.name)])  # force states
-    r = np.full(12, 1e-4, dtype=np.float32)  # rate cost (smoothness)
+    # Rate cost: stance transitions need O(1e3 N/s) ramps (100 N over a few stages),
+    # so the weight must keep rate^2 * r well below the state-error terms or the
+    # forces respond too slowly to stand on (observed closed-loop sinking at 1e-4).
+    r = np.full(12, 1e-5, dtype=np.float32)
 
     def dynamics(x, u, feet, contact, dt):
         base, f = x[:12], x[12:]
@@ -87,7 +94,7 @@ def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return _cone_residual(x[12:], contact, fz_max, mu, grf_min)
 
     return VariantSpec("input_rates", 24, 12, dynamics, stage_ineq, 24, q, r,
-                       grfs_of=lambda u, x: x[12:])
+                       grfs_of=lambda u, x: x[12:], lm_scale=1e-3)
 
 
 def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
@@ -348,7 +355,7 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
     gp = cfg.mpc.gradient
     iters = {"balance": gp.qp_iters, "robust": gp.qp_iters + 6,
              "speed": gp.qp_iters_speed, "crazy_speed": gp.qp_iters_crazy_speed}[gp.solver_mode]
-    lm = gp.levenberg_marquardt
+    lm = gp.levenberg_marquardt * spec.lm_scale
     sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
     grf_max = cfg.mpc.grf_max
 
@@ -483,6 +490,20 @@ class VariantGradientMPC:
             np.asarray(reference["ref_angular_velocity"]).reshape(3)]).astype(np.float32)
 
         extra = self.extra_state.copy()
+        if self.spec.name == "input_rates":
+            # The carried force state goes stale across contact switches: zero it for
+            # swing legs and re-seed newly-stance legs at their gravity share (the
+            # reference re-initializes the force states from the applied GRFs each
+            # tick, input_rates controller x0 fill).
+            n0 = max(seq[:, 0].sum(), 1.0)
+            share0 = cfg.robot.mass * cfg.gravity / n0
+            f = extra.reshape(4, 3)
+            for leg in range(4):
+                if seq[leg, 0] == 0:
+                    f[leg] = 0.0
+                elif f[leg, 2] < 1.0:
+                    f[leg] = [0.0, 0.0, share0]
+            extra = f.reshape(12)
         if self.spec.name == "foothold":
             extra = feet_now.reshape(12).astype(np.float32)
         if self.spec.name == "kinodynamic":

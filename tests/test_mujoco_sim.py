@@ -58,15 +58,26 @@ def test_trot_walks_full_physics():
 
 
 def test_gradient_stands_full_physics():
-    """Gradient MPC holds the robot standing in full physics. (Closed-loop gradient
-    TROTTING in full contact physics is a known gap — see README known issues; the
-    idealized-plant walking test covers the controller itself.)"""
+    """Gradient MPC holds the robot standing in full physics."""
     cfg = make_config("aliengo", mpc_type="nominal", gait="full_stance")
     cfg = replace_config(cfg, **{"sim.visual_foothold_adaptation": "blind"})
     res = run_simulation(cfg, num_episodes=1, episode_duration_s=1.5,
                          ref_base_lin_vel=(0.0, 0.0), seed=0)[0]
     assert not res.fell
     assert res.mean_height_error < 0.08
+
+
+def test_gradient_trots_full_physics():
+    """Gradient RTI-SQP trots in real contact physics (regression for the swing-gain
+    root cause: at 500/10 the swing feet drooped, grazed, and the braking cascade
+    toppled the robot — see config.py sim gains comment)."""
+    cfg = make_config("aliengo", mpc_type="nominal", gait="trot")
+    cfg = replace_config(cfg, **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
+                         ref_base_lin_vel=(0.3, 0.0), seed=0)[0]
+    assert not res.fell, f"fell after {res.duration}s"
+    assert res.distance > 0.4, f"only travelled {res.distance:.2f} m"
+    assert res.mean_vel_error < 0.15
 
 
 def test_video_recorder(tmp_path):
