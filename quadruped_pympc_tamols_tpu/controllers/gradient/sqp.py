@@ -186,7 +186,9 @@ class GradientMPC:
         Uref = np.zeros((H, 12), np.float32)
         for leg in range(4):
             Uref[:, leg * 3 + 2] = share * seq[leg]
-        return jnp.asarray(Xref), jnp.asarray(Uref)
+        # numpy out: jit converts all call arguments in one dispatch; pre-converting
+        # with jnp.asarray would pay one host->device transfer per array.
+        return Xref, Uref
 
     def _build_inputs(self, state, reference, contact_seq):
         feet_now = np.stack([np.asarray(state[f"foot_{leg}"]).reshape(3)
@@ -200,7 +202,7 @@ class GradientMPC:
             np.asarray(state["linear_velocity"]).reshape(3),
             np.asarray(state["orientation"]).reshape(3),
             np.asarray(state["angular_velocity"]).reshape(3)]).astype(np.float32)
-        return jnp.asarray(x0), jnp.asarray(feet_traj, dtype=jnp.float32)
+        return x0, np.asarray(feet_traj, np.float32)
 
     # -- main entry ---------------------------------------------------------
     def compute_control(self, state, reference, contact_sequence, constraint=None,
@@ -208,15 +210,17 @@ class GradientMPC:
         seq = np.asarray(contact_sequence, np.float32)[:, : self.dims.horizon]
         x0, feet_traj = self._build_inputs(state, reference, seq)
         Xref, Uref = self._build_refs(state, reference, seq)
-        wrench = jnp.zeros(6) if (external_wrenches is None
-                                  or not self.cfg.mpc.gradient.external_wrenches_compensation) \
-            else jnp.asarray(np.asarray(external_wrenches).reshape(6), jnp.float32)
+        wrench = np.zeros(6, np.float32) if (
+            external_wrenches is None
+            or not self.cfg.mpc.gradient.external_wrenches_compensation) \
+            else np.asarray(external_wrenches, np.float32).reshape(6)
         # Fresh warm starts seed from the gravity-share reference: at f = 0 the SRB
         # torque balance has zero force/foothold sensitivity, which starves the first
         # Gauss-Newton step (the reference warm-starts analogously, :1048-1113).
-        U_ws = Uref if not np.any(self.U_warm) else jnp.asarray(self.U_warm)
-        out = self.solve(x0, feet_traj, jnp.asarray(seq), Xref, Uref,
-                         U_ws, wrench)
+        U_ws = Uref if not np.any(self.U_warm) else self.U_warm
+        # One batched fetch for the whole solution (per-field np.asarray would pay
+        # one device round trip each on a remote-attached TPU).
+        out = jax.device_get(self.solve(x0, feet_traj, seq, Xref, Uref, U_ws, wrench))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.

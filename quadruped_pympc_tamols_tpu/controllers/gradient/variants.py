@@ -561,9 +561,9 @@ class VariantGradientMPC:
         # gravity-share reference instead (the reference warm-starts analogously,
         # centroidal_nmpc_nominal.py:1048-1113).
         U_ws = Uref if not np.any(self.U_warm) else self.U_warm
-        out = self.solve(jnp.asarray(x0), jnp.asarray(feet_traj, dtype=jnp.float32),
-                         jnp.asarray(seq), jnp.asarray(Xref), jnp.asarray(Uref),
-                         jnp.asarray(U_ws))
+        out = jax.device_get(
+            self.solve(np.asarray(x0, np.float32), np.asarray(feet_traj, np.float32),
+                       seq, Xref, Uref, np.asarray(U_ws, np.float32)))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             grfs, status, predicted = self.previous_grfs, 1, x_base

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GRAVITY, GaitType
-from ..utils.frames import euler_xyz_to_rot, yaw_rot2, yaw_rot3
+from ..utils.frames import (
+    euler_xyz_to_rot,
+    euler_xyz_to_rot_np,
+    yaw_rot2,
+    yaw_rot3,
+    yaw_rot3_np,
+)
 from ..utils.legs import Legs
 
 # Stance-width y offset signs per leg (FL, FR, RL, RR): left legs widen +, right legs -.
@@ -101,28 +107,32 @@ class FootholdReferenceGenerator:
         self.base_vel_hist.append(R2 @ np.asarray(base_xy_lin_vel))
         vel_mavg_h = np.mean(self.base_vel_hist, axis=0)
 
-        out = _raibert_jit(
-            jnp.asarray(base_position),
-            jnp.asarray(base_ori_euler_xyz),
-            jnp.asarray(vel_mavg_h),
-            jnp.asarray(ref_base_xy_lin_vel),
-            jnp.asarray(hips_position.data),
-            jnp.asarray(np.asarray(self.lift_off_positions.data)[:, 2]),
-            self.stance_time,
-            self.hip_height,
-            com_height_nominal,
-            self.hip_offset,
-            jnp.asarray(self.com_pos_offset_b),
-        )
-        ref = Legs(np.asarray(out))
-        self.com_pos_offset_w = np.asarray(
-            euler_xyz_to_rot(jnp.asarray(base_ori_euler_xyz)) @ jnp.asarray(self.com_pos_offset_b)
-        )
+        # numpy twin of raibert_footholds: a dozen scalar-sized ops per tick; a device
+        # call costs a full round trip on a remote-attached TPU. The jitted kernel
+        # stays for batched on-device use (parallel/scenario_engine.py).
+        ref_vel_h = R2 @ np.asarray(ref_base_xy_lin_vel)
+        delta_ref_h = np.clip(0.5 * self.stance_time * ref_vel_h,
+                              -1.5 * self.hip_height, 1.5 * self.hip_height)
+        err_comp = np.clip(np.sqrt(com_height_nominal / 9.81) * (vel_mavg_h - ref_vel_h),
+                           -0.05, 0.05)
+        hips = np.asarray(hips_position.data)
+        hips_h = (hips[:, :2] - np.asarray(base_position)[None, :2]) @ R2.T
+        feet_h = hips_h.copy()
+        feet_h[:, 1] += self.hip_offset * _Y_OFFSET_SIGN
+        feet_h += delta_ref_h[None, :] + err_comp[None, :]
+        feet_w_xy = feet_h @ R2 + np.asarray(base_position)[None, :2]
+        off_w = euler_xyz_to_rot_np(base_ori_euler_xyz) @ np.asarray(self.com_pos_offset_b)
+        feet_w_xy = feet_w_xy + off_w[None, :2]
+        liftoff_z = np.asarray(self.lift_off_positions.data)[:, 2]
+        ref = Legs(np.concatenate([feet_w_xy, liftoff_z[:, None]], axis=1))
+        # numpy on purpose: eager jnp here costs device round trips per tick.
+        self.com_pos_offset_w = euler_xyz_to_rot_np(base_ori_euler_xyz) @ \
+            np.asarray(self.com_pos_offset_b)
         self.last_reference_footholds = Legs(ref.data.copy())
         return ref
 
     def _yaw3(self, base_ori_euler_xyz):
-        return np.asarray(yaw_rot3(jnp.asarray(base_ori_euler_xyz[2])))
+        return yaw_rot3_np(base_ori_euler_xyz[2])
 
     def update_lift_off_positions(self, previous_contact, current_contact, feet_pos: Legs,
                                   gait_type, base_position, base_ori_euler_xyz):

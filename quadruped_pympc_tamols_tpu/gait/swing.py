@@ -118,6 +118,42 @@ bezier_swing_refs_jit = jax.jit(bezier_swing_refs)
 explicit_swing_refs_jit = jax.jit(explicit_swing_refs)
 
 
+def make_swing_ik_step(robot, generator: str = "bezier_ref"):
+    """One fused per-control-step kernel: all-leg swing references + whole-body IK.
+
+    The unfused path dispatches one device call per swing leg plus eager jnp ops for
+    the IK (3+ host->device round trips per 2 ms step — fatal for the 500 Hz
+    real-robot budget, ros2/run_controller.py:85-91). This returns a single jitted
+    function:
+
+        step(t, period, step_h, lift_off, touch_down, swing_mask, stance_des,
+             base_pos, base_rpy) -> (des_pos (4,3), des_vel, des_acc, des_q (4,3))
+
+    where per-leg reflex re-planning is expressed by the (host-adjusted) t/period/
+    step_h/lift_off arrays, swing_mask selects swing legs, and stance legs pass
+    their foothold through to the IK.
+    """
+    from ..kinematics.leg_ik import LegKinematics
+    from ..utils.frames import euler_xyz_to_rot
+
+    kin = LegKinematics(robot)
+    refs_fn = explicit_swing_refs if generator == "explicit" else bezier_swing_refs
+    v_refs = jax.vmap(refs_fn)
+
+    def step(t, period, step_h, lift_off, touch_down, swing_mask, stance_des,
+             base_pos, base_rpy):
+        pos, vel, acc = v_refs(t, period, step_h, lift_off, touch_down)
+        m = swing_mask[:, None]
+        des_pos = m * pos + (1.0 - m) * stance_des
+        des_vel = m * vel
+        des_acc = m * acc
+        R = euler_xyz_to_rot(base_rpy)
+        des_q = kin.ik_world(des_pos, base_pos, R)
+        return des_pos, des_vel, des_acc, des_q
+
+    return jax.jit(step)
+
+
 class SwingTrajectoryController:
     """Host-side swing clocks, event detection and torque computation.
 

@@ -67,13 +67,28 @@ class TerrainEstimator:
     def compute_terrain_estimation(self, base_position, yaw, feet_pos, current_contact=None):
         import numpy as np
 
-        r, p, h = _estimate_jit(
-            jnp.asarray(base_position), jnp.asarray(yaw),
-            jnp.asarray(np.asarray(feet_pos.data if hasattr(feet_pos, "data") else feet_pos)),
-            self.terrain_roll, self.terrain_pitch, self.terrain_height,
-            self.roll_activated, self.pitch_activated,
-        )
-        self.terrain_roll = float(r)
-        self.terrain_pitch = float(p)
-        self.terrain_height = float(h)
+        # Pure numpy on the host path: this is a handful of scalar ops per tick, and
+        # a device call would cost a full round trip on a remote-attached TPU. The
+        # jitted estimate_terrain_step stays for batched on-device use.
+        from ..utils.frames import yaw_rot3_np
+
+        feet = np.asarray(feet_pos.data if hasattr(feet_pos, "data") else feet_pos)
+        R = yaw_rot3_np(yaw)
+        rel = (feet - np.asarray(base_position)[None, :]) @ R.T
+        fl, fr, rl, rr = rel
+        front_diff, back_diff = fl - fr, rl - rr
+        left_diff, right_diff = fl - rl, fr - rr
+        pitch = 0.5 * (np.arctan(abs(left_diff[2]) / abs(left_diff[0] + 0.001))
+                       + np.arctan(abs(right_diff[2]) / abs(right_diff[0] + 0.001)))
+        roll = 0.5 * (np.arctan(abs(front_diff[2]) / abs(front_diff[1] + 0.001))
+                      + np.arctan(abs(back_diff[2]) / abs(back_diff[1] + 0.001)))
+        if front_diff[2] * 0.5 + back_diff[2] * 0.5 < 0:
+            roll = -roll
+        if left_diff[2] * 0.5 + right_diff[2] * 0.5 > 0:
+            pitch = -pitch
+        self.terrain_roll = float(self.terrain_roll * 0.99 + roll * 0.01) \
+            if self.roll_activated else 0.0
+        self.terrain_pitch = float(self.terrain_pitch * 0.99 + pitch * 0.01) \
+            if self.pitch_activated else 0.0
+        self.terrain_height = float(self.terrain_height * 0.2 + feet[:, 2].mean() * 0.8)
         return self.terrain_roll, self.terrain_pitch, self.terrain_height

@@ -55,16 +55,20 @@ class SRBDControllerInterface:
                           np.float32)
 
         if self.type == "sampling":
+            import jax
+
             if self.cfg.mpc.optimize_step_freq:
                 out = self.controller.compute_control(
                     state_current, ref_state, contact_sequence, cur, prev,
                     phase_signal if phase_signal is not None else np.zeros(4),
                     self.best_sample_freq, optimize_swing)
+                out = jax.device_get(out)  # one batched fetch (remote-TPU latency)
                 if optimize_swing:
                     self.best_sample_freq = float(out.best_freq)
             else:
                 out = self.controller.compute_control(
                     state_current, ref_state, contact_sequence, cur, prev)
+                out = jax.device_get(out)
             grfs = np.asarray(out.grfs)
             footholds = np.stack([
                 np.asarray(ref_state[f"ref_foot_{leg}"]).reshape(3)

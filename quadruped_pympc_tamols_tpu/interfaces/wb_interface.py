@@ -15,6 +15,7 @@ their modules; this class is the thin stateful host shell around them.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, GAITS, GaitType, LEGS
@@ -55,6 +56,14 @@ class WBInterface:
             self.ik = QPIK(cfg.robot)
         else:
             self.ik = LegKinematics(cfg.robot)
+        # Fused all-leg swing-refs + IK kernel (one device call per control step);
+        # only the analytic IK is stateless enough to fuse.
+        if isinstance(self.ik, LegKinematics):
+            from ..gait.swing import make_swing_ik_step
+            self._swing_ik_step = make_swing_ik_step(cfg.robot,
+                                                     cfg.sim.swing_generator)
+        else:
+            self._swing_ik_step = None
         self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
         self.esd = EarlyStanceDetector(
             trigger_mode=cfg.sim.reflex_trigger_mode,
@@ -211,27 +220,73 @@ class WBInterface:
 
         des_foot_pos = np.zeros((4, 3))
         des_foot_vel = np.zeros((4, 3))
-        for leg, leg_name in enumerate(LEGS):
-            if self.current_contact[leg] == 0:
-                t, p, v = self.stc.compute_swing_control_cartesian_space(
-                    leg_id=leg,
-                    q_dot=np.asarray(qvel_js[leg_name]).reshape(3),
-                    J=jac[leg],
-                    J_dot=np.asarray(feet_jac_dot[leg_name]),
-                    lift_off=self.frg.lift_off_positions[leg_name],
-                    touch_down=np.asarray(nmpc_footholds[leg_name]),
-                    foot_pos=np.asarray(feet_pos[leg_name]),
-                    foot_vel=np.asarray(feet_vel[leg_name]),
-                    h=np.asarray(legs_qfrc_bias[leg_name]).reshape(3),
-                    mass_matrix=np.asarray(legs_mass_matrix[leg_name]),
-                    early_stance_hitmoment=self.esd.hitmoments[leg],
-                    early_stance_hitpoint=self.esd.hitpoints[leg],
-                )
-                tau[leg] = t
-                des_foot_pos[leg] = p
-                des_foot_vel[leg] = v
-            else:
-                des_foot_pos[leg] = np.asarray(nmpc_footholds[leg_name])
+        if self._swing_ik_step is not None:
+            # Fused path: all-leg swing references + IK in ONE device call per step
+            # (the unfused path below dispatches per swing leg plus eager IK ops —
+            # too many round trips for the 500 Hz budget).
+            stc = self.stc
+            t_eff = np.asarray(stc.swing_time, np.float32).copy()
+            period = np.full(4, stc.swing_period, np.float32)
+            step_h = np.full(4, stc.step_height, np.float32)
+            lo = np.asarray(self.frg.lift_off_positions.data, np.float32).copy()
+            for leg in range(4):
+                hm, hp = self.esd.hitmoments[leg], self.esd.hitpoints[leg]
+                if hp is not None and hm >= 0.0:
+                    # Reflex re-planning from the hitpoint with a raised apex
+                    # (reference scipy_swing_trajectory_generator.py:25-47).
+                    lo[leg] = np.asarray(hp, np.float32)
+                    step_h[leg] = stc.reflex_max_step_height
+                    period[leg] = max(stc.swing_period - hm, 1e-3)
+                    t_eff[leg] = t_eff[leg] - hm
+            swing_mask = (np.asarray(self.current_contact) == 0).astype(np.float32)
+            td = np.asarray(nmpc_footholds.data, np.float32)
+            import jax as _jax
+            p_a, v_a, a_a, q_a = _jax.device_get(self._swing_ik_step(
+                t_eff, period, step_h, lo, td, swing_mask, td,
+                np.asarray(base_pos, np.float32), np.asarray(base_rpy, np.float32)))
+            des_foot_pos = np.asarray(p_a, np.float64)
+            des_foot_vel = np.asarray(v_a, np.float64)
+            des_acc = np.asarray(a_a, np.float64)
+            des_q = np.asarray(q_a, np.float64)
+            Kp, Kd = stc.position_gain_fb, stc.velocity_gain_fb
+            feet = np.asarray(feet_pos.data)
+            fvel = np.asarray(feet_vel.data)
+            jdot = np.asarray(feet_jac_dot.data)
+            qd = np.asarray(qvel_js.data).reshape(4, 3)
+            h_b = np.asarray(legs_qfrc_bias.data).reshape(4, 3)
+            M = np.asarray(legs_mass_matrix.data)
+            for leg in range(4):
+                if self.current_contact[leg] == 0:
+                    e_p = des_foot_pos[leg] - feet[leg]
+                    e_v = des_foot_vel[leg] - fvel[leg]
+                    acc = des_acc[leg] + Kp * e_p + Kd * e_v
+                    t_leg = jac[leg].T @ (Kp * e_p + Kd * e_v)
+                    if stc.use_feedback_linearization:
+                        t_leg = t_leg + M[leg] @ np.linalg.pinv(jac[leg]) @ (
+                            acc - jdot[leg] @ qd[leg]) + h_b[leg]
+                    tau[leg] = t_leg
+        else:
+            for leg, leg_name in enumerate(LEGS):
+                if self.current_contact[leg] == 0:
+                    t, p, v = self.stc.compute_swing_control_cartesian_space(
+                        leg_id=leg,
+                        q_dot=np.asarray(qvel_js[leg_name]).reshape(3),
+                        J=jac[leg],
+                        J_dot=np.asarray(feet_jac_dot[leg_name]),
+                        lift_off=self.frg.lift_off_positions[leg_name],
+                        touch_down=np.asarray(nmpc_footholds[leg_name]),
+                        foot_pos=np.asarray(feet_pos[leg_name]),
+                        foot_vel=np.asarray(feet_vel[leg_name]),
+                        h=np.asarray(legs_qfrc_bias[leg_name]).reshape(3),
+                        mass_matrix=np.asarray(legs_mass_matrix[leg_name]),
+                        early_stance_hitmoment=self.esd.hitmoments[leg],
+                        early_stance_hitpoint=self.esd.hitpoints[leg],
+                    )
+                    tau[leg] = t
+                    des_foot_pos[leg] = p
+                    des_foot_vel[leg] = v
+                else:
+                    des_foot_pos[leg] = np.asarray(nmpc_footholds[leg_name])
 
         self.last_des_foot_pos = Legs(des_foot_pos.copy())
 
@@ -239,10 +294,11 @@ class WBInterface:
         if self.stc.use_friction_compensation and legs_qfrc_passive is not None:
             tau = tau - np.asarray(legs_qfrc_passive.data)
 
-        # IK -> joint PD targets (reference :425-438) with the analytic solver.
-        des_q = self.ik.compute_solution(np.asarray(base_pos), np.asarray(base_rpy),
-                                         des_foot_pos[0], des_foot_pos[1],
-                                         des_foot_pos[2], des_foot_pos[3]).reshape(4, 3)
+        # IK -> joint PD targets (reference :425-438).
+        if self._swing_ik_step is None:
+            des_q = self.ik.compute_solution(
+                np.asarray(base_pos), np.asarray(base_rpy), des_foot_pos[0],
+                des_foot_pos[1], des_foot_pos[2], des_foot_pos[3]).reshape(4, 3)
         des_qd = np.zeros((4, 3))
         for leg in range(4):
             des_qd[leg] = np.linalg.pinv(jac[leg]) @ des_foot_vel[leg]

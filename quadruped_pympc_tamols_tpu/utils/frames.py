@@ -131,3 +131,31 @@ def inv3(A):
         -2,
     )
     return cof / det[..., None, None]
+
+
+# -- numpy twins for per-tick host code ---------------------------------------
+# Eager jnp math on the host dispatches one device op per primitive; the stateful
+# per-tick layers (foothold reference, terrain estimator) use these instead so the
+# only device traffic per control step is the fused kernels' calls.
+
+def euler_xyz_to_rot_np(rpy):
+    """numpy twin of euler_xyz_to_rot (scipy 'xyz' convention)."""
+    import numpy as np
+
+    roll, pitch, yaw = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    return np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ])
+
+
+def yaw_rot3_np(yaw):
+    """numpy twin of yaw_rot3 (world->horizontal)."""
+    import numpy as np
+
+    c, s = np.cos(float(yaw)), np.sin(float(yaw))
+    return np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
