@@ -63,6 +63,9 @@ class TerrainEstimator:
         self.terrain_height = 0.0
         self.roll_activated = False
         self.pitch_activated = True
+        # Operator-commanded reference-pitch offset (the console's pitch commands,
+        # reference ros2/console.py pitch deltas); added on top of the EMA estimate.
+        self.pitch_offset = 0.0
 
     def compute_terrain_estimation(self, base_position, yaw, feet_pos, current_contact=None):
         import numpy as np
@@ -91,4 +94,5 @@ class TerrainEstimator:
         self.terrain_pitch = float(self.terrain_pitch * 0.99 + pitch * 0.01) \
             if self.pitch_activated else 0.0
         self.terrain_height = float(self.terrain_height * 0.2 + feet[:, 2].mean() * 0.8)
-        return self.terrain_roll, self.terrain_pitch, self.terrain_height
+        return (self.terrain_roll, self.terrain_pitch + self.pitch_offset,
+                self.terrain_height)

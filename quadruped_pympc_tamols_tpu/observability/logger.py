@@ -63,6 +63,22 @@ class EpisodeLogger:
         arrays = {k.replace("/", "__"): np.asarray(v) for k, v in self.buffers.items()}
         savemat(path or self.path.replace(".npz", ".mat"), arrays)
 
+    def save_h5(self, path: str | None = None) -> str:
+        """HDF5 trajectory export, one dataset per observable (the role of
+        gym_quadruped's H5Writer in the reference, simulation.py:536-554)."""
+        import h5py
+
+        path = path or self.path.replace(".npz", ".h5")
+        d = os.path.dirname(os.path.abspath(path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.h5")
+        os.close(fd)
+        with h5py.File(tmp, "w") as f:
+            for k, v in self.buffers.items():
+                f.create_dataset(k, data=np.asarray(v), compression="gzip")
+        os.replace(tmp, path)
+        return path
+
 
 class ProfileTimer:
     """Named wall-clock sections with p50/p99 summaries."""

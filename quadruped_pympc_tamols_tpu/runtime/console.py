@@ -22,12 +22,15 @@ class Console:
         self.velocity_cmd = np.zeros(3)
         self.yaw_rate_cmd = 0.0
         self.walking = False
+        self.impedance_gains = None  # (kp, kd) once set via impedance_gains
         self.commands = {
             "start": self.cmd_start, "stop": self.cmd_stop, "vel": self.cmd_vel,
             "gait": self.cmd_gait, "step_freq": self.cmd_step_freq,
             "duty_factor": self.cmd_duty_factor, "stance_width": self.cmd_stance_width,
             "step_height": self.cmd_step_height, "swing_gains": self.cmd_swing_gains,
             "height_delta": self.cmd_height_delta, "help": self.cmd_help,
+            "impedance_gains": self.cmd_impedance_gains,
+            "pitch_delta": self.cmd_pitch_delta,
         }
 
     # -- commands ----------------------------------------------------------
@@ -93,6 +96,19 @@ class Console:
         # (foothold_reference_generator.py:32-33).
         self.wrapper.wb_interface.frg.com_pos_offset_b[2] += float(dz)
         return f"com z offset -> {self.wrapper.wb_interface.frg.com_pos_offset_b[2]:.3f}"
+
+    def cmd_impedance_gains(self, kp, kd):
+        """Joint-PD impedance gains (reference console.py impedance commands).
+        Stored on the console; the driving loop (controller node / sim harness)
+        reads them when applying the joint PD."""
+        self.impedance_gains = (float(kp), float(kd))
+        return f"impedance gains kp={kp} kd={kd}"
+
+    def cmd_pitch_delta(self, dp):
+        """Reference-pitch offset (reference console.py pitch commands)."""
+        te = self.wrapper.wb_interface.terrain_estimator
+        te.pitch_offset += float(dp)
+        return f"pitch offset -> {te.pitch_offset:.3f}"
 
     def cmd_help(self):
         return "commands: " + " ".join(sorted(self.commands))

@@ -17,8 +17,11 @@ from ..observability.logger import EpisodeLogger
 
 def generate_dataset(cfg: Config, out_dir: str, num_episodes: int = 2,
                      episode_duration_s: float = 2.0, vel_range=(0.1, 0.4),
-                     seed: int = 0, motion_rate_hz: float = 50.0):
-    """Run recorded episodes; writes episode_<i>.npz + motion_<i>.npz files.
+                     seed: int = 0, motion_rate_hz: float = 50.0,
+                     h5: bool = False):
+    """Run recorded episodes; writes episode_<i>.npz + motion_<i>.npz files
+    (plus episode_<i>.h5 when ``h5``, matching the reference's H5 recording path,
+    simulation/generate_dataset.py:24-41).
 
     Returns the list of episode archive paths.
     """
@@ -33,6 +36,8 @@ def generate_dataset(cfg: Config, out_dir: str, num_episodes: int = 2,
                        ref_base_lin_vel=("random", *vel_range), seed=seed + ep,
                        logger=logger)
         logger.flush()
+        if h5:
+            logger.save_h5()
         paths.append(log_path)
 
         # Downsampled motion export (reference :55-79 re-exports .npy motions).

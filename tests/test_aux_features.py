@@ -158,3 +158,19 @@ def test_env_feet_contact_points():
         for pos, normal in leg_pts:
             # Ground contact normal points up into the foot.
             assert normal[2] > 0.7
+
+
+def test_h5_episode_export(tmp_path):
+    pytest.importorskip("h5py")
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.generate_dataset import generate_dataset
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"mpc.sampling.num_samples": 200,
+                         "sim.visual_foothold_adaptation": "blind"})
+    generate_dataset(cfg, str(tmp_path), num_episodes=1, episode_duration_s=0.1,
+                     h5=True)
+    import h5py
+    with h5py.File(tmp_path / "episode_0.h5", "r") as f:
+        assert "base_pos" in f and "time" in f
+        assert f["base_pos"].shape[1] == 3

@@ -155,3 +155,27 @@ def test_console_commands():
     assert "unknown command" in con.execute("bogus 1")
     assert "unknown gait" in con.execute("gait bogus")
     assert "stopped" in con.execute("stop")
+
+
+def test_console_new_commands():
+    import numpy as np
+
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.interfaces.wrapper import QuadrupedPyMPCWrapper
+    from quadruped_pympc_tamols_tpu.runtime.console import Console
+    from quadruped_pympc_tamols_tpu.utils.legs import Legs
+
+    cfg = make_config("aliengo", **{"mpc.sampling.num_samples": 100,
+                                    "sim.visual_foothold_adaptation": "blind"})
+    feet = Legs(np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                          [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]]))
+    con = Console(QuadrupedPyMPCWrapper(cfg, feet))
+    assert "kp=30" in con.execute("impedance_gains 30 3")
+    assert con.impedance_gains == (30.0, 3.0)
+    con.execute("pitch_delta 0.05")
+    con.execute("pitch_delta 0.02")
+    te = con.wrapper.wb_interface.terrain_estimator
+    assert abs(te.pitch_offset - 0.07) < 1e-9
+    # The offset rides on top of the EMA estimate in the returned pitch.
+    _, pitch, _ = te.compute_terrain_estimation(np.zeros(3), 0.0, feet)
+    assert abs(pitch - 0.07) < 1e-6
