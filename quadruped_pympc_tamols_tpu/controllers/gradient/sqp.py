@@ -87,17 +87,17 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
                                   contact_seq, dims)
         return d.reshape(-1)  # (24H,)
 
-    def _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench):
-        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator,
+    def _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench, p):
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, p, dts, integrator,
                              wrench)
         ex = xs[1:] - Xref
         eu = U - Uref
         return jnp.sum(ex * ex * q_diag) + jnp.sum(eu * eu * r_diag)
 
-    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big, wrench):
-        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, srbd, dts, integrator,
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big, wrench, p):
+        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, p, dts, integrator,
                                wrench)
-        lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, srbd, dts,
+        lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, p, dts,
                                  integrator, wrench)
         Fm, Gm = condense(lin, dims)
         # dx0 = 0: the rollout starts at the measured state.
@@ -112,14 +112,20 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
         U = Ubar + sol.z.reshape(H, nu)
         return U, sol
 
-    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None):
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None,
+              srbd_rt=None):
+        # srbd_rt: optional runtime SRBDParams (use_inertia_recomputation — the
+        # reference feeds mass/inertia as per-stage OCP parameters,
+        # centroidal_nmpc_nominal.py:1297-1330). None compiles the static params in.
+        p = srbd if srbd_rt is None else srbd_rt
         wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
         d_big = _stage_d(contact_seq)
         U = U_warm
         for _ in range(sqp_iters):  # static small loop
-            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big, wrench)
-        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench)
-        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator,
+            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big,
+                              wrench, p)
+        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench, p)
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, p, dts, integrator,
                              wrench)
         grfs = U[0].reshape(4, 3)
         return RTISolution(U, grfs, xs[1], cost, sol.gap, sol.primal_res)
@@ -206,7 +212,7 @@ class GradientMPC:
 
     # -- main entry ---------------------------------------------------------
     def compute_control(self, state, reference, contact_sequence, constraint=None,
-                        external_wrenches=None):
+                        external_wrenches=None, inertia=None, mass=None):
         seq = np.asarray(contact_sequence, np.float32)[:, : self.dims.horizon]
         x0, feet_traj = self._build_inputs(state, reference, seq)
         Xref, Uref = self._build_refs(state, reference, seq)
@@ -218,9 +224,23 @@ class GradientMPC:
         # torque balance has zero force/foothold sensitivity, which starves the first
         # Gauss-Newton step (the reference warm-starts analogously, :1048-1113).
         U_ws = Uref if not np.any(self.U_warm) else self.U_warm
+        srbd_rt = None
+        if inertia is not None or mass is not None:
+            # Runtime inertia/mass (use_inertia_recomputation): recomputed whole-body
+            # tensor from the sim/estimator replaces the static trunk values.
+            from ...dynamics.srbd import SRBDParams, make_params
+
+            base = make_params(self.cfg)
+            I_rt = np.asarray(inertia, np.float32) if inertia is not None else base.inertia
+            srbd_rt = SRBDParams(
+                mass=np.asarray(mass if mass is not None else base.mass, np.float32),
+                inertia=I_rt,
+                inertia_inv=np.linalg.inv(I_rt).astype(np.float32),
+                gravity=base.gravity)
         # One batched fetch for the whole solution (per-field np.asarray would pay
         # one device round trip each on a remote-attached TPU).
-        out = jax.device_get(self.solve(x0, feet_traj, seq, Xref, Uref, U_ws, wrench))
+        out = jax.device_get(self.solve(x0, feet_traj, seq, Xref, Uref, U_ws, wrench,
+                                        srbd_rt))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.

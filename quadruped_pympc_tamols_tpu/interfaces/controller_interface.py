@@ -75,9 +75,14 @@ class SRBDControllerInterface:
                 for leg in ("FL", "FR", "RL", "RR")])
             predicted = np.asarray(out.predicted_state)
         else:
+            # Runtime inertia (use_inertia_recomputation) is supported by the nominal
+            # RTI solver; the augmented-state variants keep static params.
+            extra = {}
+            if inertia is not None and type(self.controller).__name__ == "GradientMPC":
+                extra = dict(inertia=inertia, mass=mass)
             grfs, footholds, predicted, status, cost = self.controller.compute_control(
                 state_current, ref_state, contact_sequence,
-                external_wrenches=external_wrenches)
+                external_wrenches=external_wrenches, **extra)
 
         # Mask by current contact (reference srbd_controller_interface.py:225-230).
         grfs = grfs * cur[:, None]

@@ -53,7 +53,7 @@ class QuadrupedPyMPCWrapper:
         qpos_js: Legs, qvel_js: Legs, feet_jac: Legs, feet_jac_dot: Legs,
         feet_vel: Legs, legs_qfrc_bias: Legs, legs_mass_matrix: Legs,
         legs_qfrc_passive: Legs | None = None, external_wrenches=None,
-        contact_points=None,
+        contact_points=None, inertia=None,
     ) -> Legs:
         """One control tick; returns joint torques (Legs of (3,))."""
         (state_current, ref_state, contact_sequence, step_height, optimize_swing) = \
@@ -66,7 +66,7 @@ class QuadrupedPyMPCWrapper:
             (self.nmpc_GRFs, self.nmpc_footholds, self.best_sample_freq,
              self.nmpc_predicted_state) = self.srbd_controller_interface.compute_control(
                 state_current, ref_state, contact_sequence,
-                external_wrenches=external_wrenches,
+                external_wrenches=external_wrenches, inertia=inertia,
                 current_contact=self.wb_interface.current_contact,
                 previous_contact=self.wb_interface.previous_contact,
                 phase_signal=self.wb_interface.pgg.phase_signal,

@@ -168,6 +168,26 @@ class QuadrupedEnv:
                     out[k] = 1.0
         return out
 
+    def srb_inertia(self) -> np.ndarray:
+        """(3, 3) whole-robot composite inertia about the robot CoM, expressed in the
+        BASE frame (the SRB model's convention). Counterpart of the reference's
+        per-tick inertia recomputation fed to the OCP params
+        (config use_inertia_recomputation; centroidal_nmpc_nominal.py:1297-1330)."""
+        m = self.model
+        d = self.data
+        com = self.com_pos
+        I_w = np.zeros((3, 3))
+        for b in range(1, m.nbody):
+            mass = m.body_mass[b]
+            if mass <= 0:
+                continue
+            R = d.ximat[b].reshape(3, 3)  # inertial-frame orientation in world
+            I_b = R @ np.diag(m.body_inertia[b]) @ R.T
+            r = d.xipos[b] - com
+            I_w += I_b + mass * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
+        R_b2w = d.xmat[1].reshape(3, 3)  # trunk is body 1 (freejoint root)
+        return R_b2w.T @ I_w @ R_b2w
+
     def feet_contact_points(self) -> list:
         """Per-leg list of (pos (3,), normal (3,)) world-frame contact points
         (reference early_stance_detector.py:90-115 reads these from MuJoCo for the

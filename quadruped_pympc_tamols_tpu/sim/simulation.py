@@ -105,6 +105,8 @@ def run_simulation(
                 contact_points=(env.feet_contact_points()
                                 if cfg.sim.reflex_trigger_mode == "geom_contact"
                                 else None),
+                inertia=(env.srb_inertia()
+                         if cfg.sim.use_inertia_recomputation else None),
             )
             # The reference's sim applies the feedforward torque directly
             # (simulation.py:683-696); the impedance joint PD runs onboard only in

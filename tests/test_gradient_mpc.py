@@ -219,3 +219,25 @@ def test_ddp_swing_legs_zero_force():
     grfs, *_ = mpc.compute_control(state, ref, seq)
     np.testing.assert_allclose(grfs[1], 0.0, atol=1e-6)
     assert grfs[[0, 2, 3], 2].sum() > cfg.robot.mass * 9.81 * 0.8
+
+
+def test_runtime_inertia_recomputation():
+    """use_inertia_recomputation: solve with the composite inertia as a runtime
+    param; a heavier tensor changes the solution without recompilation."""
+    cfg = make_config("aliengo", mpc_type="nominal")
+    mpc = GradientMPC(cfg)
+    state, ref = _standing(cfg)
+    state = dict(state)
+    state["angular_velocity"] = np.array([0.4, 0.3, 0.0])  # make inertia matter
+    seq = np.ones((4, cfg.mpc.horizon))
+    g0, *_ , c0 = mpc.compute_control(state, ref, seq)
+    mpc.reset()
+    I = cfg.robot.inertia_matrix()
+    g1, *_, c1 = mpc.compute_control(state, ref, seq, inertia=I)
+    mpc.reset()
+    g2, *_, c2 = mpc.compute_control(state, ref, seq, inertia=I * 3.0,
+                                     mass=cfg.robot.mass)
+    # Same inertia as static -> same solution; scaled inertia -> different forces.
+    np.testing.assert_allclose(g1, g0, atol=0.5)
+    assert np.abs(g2 - g1).max() > 0.5
+    assert np.isfinite(c1) and np.isfinite(c2)

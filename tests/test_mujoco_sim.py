@@ -96,3 +96,18 @@ def test_video_recorder(tmp_path):
                    video_path=out, video_fps=10)
     import os
     assert os.path.exists(str(tmp_path / "ep0.gif"))
+
+
+def test_env_srb_inertia():
+    """Composite inertia: symmetric positive definite, larger than the bare trunk
+    tensor (legs add inertia), same order of magnitude."""
+    cfg = make_config("aliengo", **{"sim.visual_foothold_adaptation": "blind"})
+    env = QuadrupedEnv(cfg, scene="flat")
+    I = env.srb_inertia()
+    assert I.shape == (3, 3)
+    np.testing.assert_allclose(I, I.T, atol=1e-9)
+    w = np.linalg.eigvalsh(I)
+    assert np.all(w > 0)
+    I_cfg = cfg.robot.inertia_matrix()
+    assert np.trace(I) > 0.5 * np.trace(I_cfg)
+    assert np.trace(I) < 10 * np.trace(I_cfg)
