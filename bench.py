@@ -85,7 +85,17 @@ def main():
 
     rti_ms = bench_gradient(cfg)
     pallas_ms = bench_pallas(cfg)
+    tamols_ms = bench_tamols(cfg)
+    wb_ms = bench_wb_tick(cfg)
     headline = min(per_solve_ms, pallas_ms) if pallas_ms else per_solve_ms
+
+    # Speed-of-light accounting for the fused rollout: ~430 f32 FLOPs per
+    # sample-step (spline eval 4x~30 + cone clamp 4x~12 + SRB fd ~220 + Euler 24 +
+    # cost ~24), VPU-bound (no MXU-shaped matmuls in the rollout body).
+    FLOPS_PER_SAMPLE_STEP = 430.0
+    VPU_PEAK_F32 = 3.0e12  # v5e VPU estimate: 8 lanes*128*2 ops * ~1.4e9 Hz * 8 cores
+    sample_steps_per_s = 10000 * cfg.mpc.horizon / (headline * 1e-3)
+    vpu_util = sample_steps_per_s * FLOPS_PER_SAMPLE_STEP / VPU_PEAK_F32
 
     print(json.dumps({
         "metric": "sampling_mpc_10k_rollout_solve_ms",
@@ -99,6 +109,10 @@ def main():
         "sync_call_p99_ms": round(float(np.percentile(sync, 99)), 3),
         "rti_sqp_solve_ms": round(rti_ms, 4),
         "rti_sqp_vs_5ms_baseline": round(5.0 / rti_ms, 3),
+        "tamols_score_ms": round(tamols_ms, 4) if tamols_ms else None,
+        "wb_swing_ik_tick_ms": round(wb_ms, 4) if wb_ms else None,
+        "rollout_sample_steps_per_s": round(sample_steps_per_s, 0),
+        "est_vpu_utilization": round(vpu_util, 4),
         "device": str(jax.devices()[0]),
         "num_samples": 10000,
         "horizon": cfg.mpc.horizon,
@@ -136,6 +150,70 @@ def bench_pallas(cfg):
             r = chain(r)
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
+    except Exception:
+        return None
+
+
+def bench_tamols(cfg):
+    """Fused TAMOLS heightmap scoring (4 legs x all cells x all costs) — the
+    reference's biggest pure-Python hot loop (visual_foothold_adaptation.py:176-228)."""
+    try:
+        from quadruped_pympc_tamols_tpu.planner.heightmap import GridHeightMap
+        from quadruped_pympc_tamols_tpu.planner.tamols import make_tamols_scorer
+
+        adapt = make_tamols_scorer(cfg, strategy="tamols")
+        R, C = 13, 7
+        hms = GridHeightMap(jnp.asarray(np.tile([[0.25, 0.15]], (4, 1)), jnp.float32),
+                            jnp.zeros(4), jnp.full(4, 0.04),
+                            jnp.zeros((4, R, C), jnp.float32))
+        seeds = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                             [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+        hips = seeds.at[:, 2].set(cfg.robot.hip_height)
+        args = (hms, seeds, hips, jnp.zeros(3).at[2].set(cfg.sim.ref_z),
+                jnp.zeros(3).at[0].set(0.3), jnp.ones(4), seeds)
+
+        @jax.jit
+        def chain(x):
+            def body(_, acc):
+                out = adapt(*args)
+                return acc + out[0][:, :2].sum()
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        jax.block_until_ready(chain(jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(jnp.float32(0.0)))
+        return (time.perf_counter() - t0) / CHAIN * 1e3
+    except Exception:
+        return None
+
+
+def bench_wb_tick(cfg):
+    """Fused per-control-step whole-body kernel (all-leg swing refs + IK)."""
+    try:
+        from quadruped_pympc_tamols_tpu.gait.swing import make_swing_ik_step
+
+        step = make_swing_ik_step(cfg.robot)
+        t = jnp.asarray([0.1, 0.0, 0.0, 0.1])
+        period = jnp.full(4, 0.25)
+        sh = jnp.full(4, cfg.sim.step_height)
+        lo = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                          [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+        td = lo + jnp.asarray([0.06, 0.0, 0.0])
+        mask = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+        bp = jnp.zeros(3).at[2].set(cfg.sim.ref_z)
+
+        @jax.jit
+        def chain(x):
+            def body(_, acc):
+                p, v, a, q = step(t, period, sh, lo, td, mask, td, bp + acc * 0,
+                                  jnp.zeros(3))
+                return acc + q.sum()
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        jax.block_until_ready(chain(jnp.float32(0.0)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(jnp.float32(0.0)))
+        return (time.perf_counter() - t0) / CHAIN * 1e3
     except Exception:
         return None
 
