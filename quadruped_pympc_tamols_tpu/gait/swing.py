@@ -118,6 +118,68 @@ bezier_swing_refs_jit = jax.jit(bezier_swing_refs)
 explicit_swing_refs_jit = jax.jit(explicit_swing_refs)
 
 
+def _bernstein6_np(s):
+    """numpy twin of _bernstein6; s (...,) -> (b, db, d2b) each (..., 7)."""
+    i = np.arange(7, dtype=np.float64)
+    s_ = np.asarray(s, np.float64)[..., None]
+    si = s_ ** i
+    ti = (1.0 - s_) ** (6 - i)
+    b = _C6 * si * ti
+    si_m1 = np.where(i > 0, s_ ** np.maximum(i - 1, 0), 0.0)
+    ti_m1 = np.where(i < 6, (1.0 - s_) ** np.maximum(5 - i, 0), 0.0)
+    db = _C6 * (i * si_m1 * ti - (6 - i) * si * ti_m1)
+    si_m2 = np.where(i > 1, s_ ** np.maximum(i - 2, 0), 0.0)
+    ti_m2 = np.where(i < 5, (1.0 - s_) ** np.maximum(4 - i, 0), 0.0)
+    d2b = _C6 * (i * (i - 1) * si_m2 * ti - 2 * i * (6 - i) * si_m1 * ti_m1
+                 + (6 - i) * (5 - i) * si * ti_m2)
+    return b, db, d2b
+
+
+def swing_refs_np(generator, swing_time, swing_period, step_height, lift_off,
+                  touch_down):
+    """numpy host twin of bezier/explicit swing refs, vectorized over legs.
+
+    The per-tick swing math is ~1k scalar FLOPs; on TPU a chain of (4,3)-shaped ops
+    is latency-bound (~1.4 ms device time measured), so the host computes it in ~10 us
+    with zero device round trips. All args (4,)/(4,3); per-leg periods supported.
+    """
+    t = np.asarray(swing_time, np.float64)
+    period = np.asarray(swing_period, np.float64)
+    sh = np.asarray(step_height, np.float64)
+    p0 = np.asarray(lift_off, np.float64)
+    pf = np.asarray(touch_down, np.float64)
+    if generator == "explicit":
+        half = period / 2.0
+        apex = np.concatenate(
+            [0.5 * (p0[:, :2] + pf[:, :2]),
+             (np.maximum(p0[:, 2], pf[:, 2]) + sh)[:, None]], axis=1)
+        tc = np.clip(t, 0.0, period)
+        first = tc < half
+        t1 = np.clip(tc / half, 0.0, 1.0)
+        t2 = np.clip((tc - half) / half, 0.0, 1.0)
+
+        def cb(a, b, tt):
+            d = b - a
+            bb = tt * tt * (3.0 - 2.0 * tt)
+            return (a + d * bb[:, None], d * (6.0 * tt * (1.0 - tt))[:, None],
+                    d * (6.0 - 12.0 * tt)[:, None])
+        pu, vu, au = cb(p0, apex, t1)
+        pd_, vd, ad = cb(apex, pf, t2)
+        f = first[:, None]
+        return (np.where(f, pu, pd_), np.where(f, vu, vd) / half[..., None],
+                np.where(f, au, ad) / (half * half)[..., None])
+    s = np.clip(t / period, 0.0, 1.0)
+    z_mid = np.maximum(p0[:, 2], pf[:, 2]) + sh
+    p3_z = (64.0 * z_mid - 22.0 * p0[:, 2] - 22.0 * pf[:, 2]) / 20.0
+    p3 = np.concatenate([0.5 * (p0[:, :2] + pf[:, :2]), p3_z[:, None]], axis=1)
+    cp = np.stack([p0, p0, p0, p3, pf, pf, pf], axis=1)  # (4, 7, 3)
+    b, db, d2b = _bernstein6_np(s)
+    pos = np.einsum("li,lij->lj", b, cp)
+    vel = np.einsum("li,lij->lj", db, cp) / period[..., None]
+    acc = np.einsum("li,lij->lj", d2b, cp) / (period ** 2)[..., None]
+    return pos, vel, acc
+
+
 def make_swing_ik_step(robot, generator: str = "bezier_ref"):
     """One fused per-control-step kernel: all-leg swing references + whole-body IK.
 

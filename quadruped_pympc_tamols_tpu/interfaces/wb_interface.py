@@ -240,14 +240,20 @@ class WBInterface:
                     t_eff[leg] = t_eff[leg] - hm
             swing_mask = (np.asarray(self.current_contact) == 0).astype(np.float32)
             td = np.asarray(nmpc_footholds.data, np.float32)
-            import jax as _jax
-            p_a, v_a, a_a, q_a = _jax.device_get(self._swing_ik_step(
-                t_eff, period, step_h, lo, td, swing_mask, td,
-                np.asarray(base_pos, np.float32), np.asarray(base_rpy, np.float32)))
-            des_foot_pos = np.asarray(p_a, np.float64)
-            des_foot_vel = np.asarray(v_a, np.float64)
-            des_acc = np.asarray(a_a, np.float64)
-            des_q = np.asarray(q_a, np.float64)
+            # Pure host numpy: this is ~1k scalar FLOPs per tick; the jitted twin of
+            # the same math measured ~1.4 ms of DEVICE time (tiny-shape op chains are
+            # latency-bound on TPU) plus a host round trip. See swing_refs_np.
+            from ..gait.swing import swing_refs_np
+            from ..utils.frames import euler_xyz_to_rot_np
+
+            pos, vel, acc = swing_refs_np(self.stc.generator, t_eff, period, step_h,
+                                          lo, td)
+            m = swing_mask[:, None].astype(np.float64)
+            des_foot_pos = m * pos + (1.0 - m) * td
+            des_foot_vel = m * vel
+            des_acc = m * acc
+            des_q = self.ik.ik_world_np(des_foot_pos, np.asarray(base_pos),
+                                        euler_xyz_to_rot_np(base_rpy))
             Kp, Kd = stc.position_gain_fb, stc.velocity_gain_fb
             feet = np.asarray(feet_pos.data)
             fvel = np.asarray(feet_vel.data)

@@ -113,15 +113,44 @@ class LegKinematics:
         p_hip = jnp.einsum("ij,lj->li", R_b2w.T, feet_world - hips)
         return self.ik_all(p_hip)
 
+    # -- numpy host twins ------------------------------------------------------
+    # Per-tick IK is ~100 scalar FLOPs; on TPU a chain of (4,3)-shaped trig ops is
+    # latency-bound, so the control loop computes it on the host (zero round trips).
+    def ik_all_np(self, p_legs):
+        """numpy twin of ik_all: (4, 3) hip-frame targets -> (4, 3) joints."""
+        p = np.asarray(p_legs, np.float64)
+        d = self.d_abd * SIDE_SIGN.astype(np.float64)
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        l3, l4 = self.l3, self.l4
+        yz2 = y * y + z * z
+        E2 = np.maximum(yz2 - d * d, 1e-9)
+        E = np.sqrt(E2)
+        q1 = np.arctan2(z, y) + np.arctan2(E, d)
+        q1 = np.arctan2(np.sin(q1), np.cos(q1))
+        r2 = np.clip(x * x + E2, (l3 - l4) ** 2 + 1e-9, (l3 + l4) ** 2 - 1e-9)
+        cos_knee = (r2 - l3 * l3 - l4 * l4) / (2 * l3 * l4)
+        q3 = -np.arccos(np.clip(cos_knee, -1.0, 1.0))
+        alpha = np.arctan2(-x, E)
+        beta = np.arctan2(l4 * np.sin(-q3), l3 + l4 * np.cos(-q3))
+        q2 = alpha + beta
+        return np.stack([q1, q2, q3], axis=1)
+
+    def ik_world_np(self, feet_world, base_pos, R_b2w):
+        """numpy twin of ik_world."""
+        hips = np.asarray(base_pos) + self.hip_offsets_b @ np.asarray(R_b2w).T
+        p_hip = (np.asarray(feet_world) - hips) @ np.asarray(R_b2w)
+        return self.ik_all_np(p_hip)
+
     def compute_solution(self, base_pos, base_rpy, des_foot_FL, des_foot_FR,
                          des_foot_RL, des_foot_RR):
         """Reference-compatible entry (inverse_kinematics_numeric_mujoco.py
-        compute_solution): returns the 12-vector of joint targets."""
-        from ..utils.frames import euler_xyz_to_rot
+        compute_solution): returns the 12-vector of joint targets. Pure host numpy
+        (per-tick path; see ik_all_np)."""
+        from ..utils.frames import euler_xyz_to_rot_np
 
-        R = euler_xyz_to_rot(jnp.asarray(base_rpy))
-        feet = jnp.stack([jnp.asarray(des_foot_FL).reshape(3),
-                          jnp.asarray(des_foot_FR).reshape(3),
-                          jnp.asarray(des_foot_RL).reshape(3),
-                          jnp.asarray(des_foot_RR).reshape(3)])
-        return np.asarray(self.ik_world(feet, jnp.asarray(base_pos), R)).reshape(12)
+        R = euler_xyz_to_rot_np(np.asarray(base_rpy))
+        feet = np.stack([np.asarray(des_foot_FL).reshape(3),
+                         np.asarray(des_foot_FR).reshape(3),
+                         np.asarray(des_foot_RL).reshape(3),
+                         np.asarray(des_foot_RR).reshape(3)])
+        return self.ik_world_np(feet, np.asarray(base_pos), R).reshape(12)

@@ -79,3 +79,40 @@ def test_reflex_replanning_raises_apex():
     pos, _, _ = stc.compute_trajectory_references(t_mid_of_replanned, LO, TD,
                                                   hitmoment=0.1, hitpoint=hit)
     assert pos[2] > max(hit[2], TD[2]) + 0.19
+
+
+def test_numpy_twins_match_jitted():
+    """Host numpy twins (per-tick path) match the jitted kernels exactly."""
+    import jax.numpy as jnp
+
+    from quadruped_pympc_tamols_tpu import ROBOTS
+    from quadruped_pympc_tamols_tpu.gait.swing import (
+        bezier_swing_refs,
+        explicit_swing_refs,
+        swing_refs_np,
+    )
+    from quadruped_pympc_tamols_tpu.kinematics import LegKinematics
+
+    t = np.array([0.05, 0.12, 0.2, 0.0])
+    period = np.full(4, 0.25)
+    sh = np.full(4, 0.11)
+    lo = np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.02],
+                   [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
+    td = lo + np.array([0.07, 0.01, 0.0])
+    for gen, fn in (("bezier_ref", bezier_swing_refs), ("explicit", explicit_swing_refs)):
+        p_np, v_np, a_np = swing_refs_np(gen, t, period, sh, lo, td)
+        import jax
+        p_j, v_j, a_j = jax.vmap(fn)(jnp.asarray(t, jnp.float32),
+                                     jnp.asarray(period, jnp.float32),
+                                     jnp.asarray(sh, jnp.float32),
+                                     jnp.asarray(lo, jnp.float32),
+                                     jnp.asarray(td, jnp.float32))
+        np.testing.assert_allclose(p_np, np.asarray(p_j), atol=1e-5)
+        np.testing.assert_allclose(v_np, np.asarray(v_j), atol=1e-4)
+        np.testing.assert_allclose(a_np, np.asarray(a_j), atol=2e-3)
+
+    kin = LegKinematics(ROBOTS["aliengo"])
+    p_hip = np.array([[0.02, 0.1, -0.33], [-0.04, -0.12, -0.3],
+                      [0.0, 0.09, -0.35], [0.05, -0.1, -0.28]])
+    np.testing.assert_allclose(kin.ik_all_np(p_hip), np.asarray(kin.ik_all(p_hip)),
+                               atol=1e-5)
