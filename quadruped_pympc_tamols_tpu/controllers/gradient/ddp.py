@@ -96,13 +96,13 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
         return kff, Kfb
 
     def _forward(alpha, x0, Ubar, xbar, kff, Kfb, feet_traj, contact_seq, Xref, Uref,
-                 wrench):
+                 wrench, p_dyn):
         def body(carry, inp):
             x, cost = carry
             ub, xb, kf, Kf, feet, c, dt, xref, uref = inp
             u = ub + alpha * kf + Kf @ (x - xb)
             u = project_cone(u, c, mu, grf_min, grf_max)
-            xn = step_fn(x, u, feet, c, srbd, dt, integrator, wrench)
+            xn = step_fn(x, u, feet, c, p_dyn, dt, integrator, wrench)
             return (xn, cost + _stage_cost(xn, u, xref, uref)), u
 
         (xF, cost), U = jax.lax.scan(
@@ -111,27 +111,31 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
         return cost, U
 
     v_forward = jax.vmap(_forward,
-                         in_axes=(0,) + (None,) * 10)
+                         in_axes=(0,) + (None,) * 11)
 
-    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None):
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None,
+              srbd_rt=None):
+        # srbd_rt: optional runtime SRBDParams (use_inertia_recomputation), same
+        # contract as make_rti_solver's solve.
+        p_dyn = srbd if srbd_rt is None else srbd_rt
         wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
         # Start from the cone-projected warm start so the first linearization is
         # feasible.
         U = jax.vmap(project_cone, in_axes=(0, 0, None, None, None))(
             U_warm, contact_seq.T, mu, grf_min, grf_max)
         for _ in range(ddp_iters):  # static small loop
-            xbar = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts,
+            xbar = rollout_nominal(x0, U, feet_traj, contact_seq, p_dyn, dts,
                                    integrator, wrench)
-            lin = linearize_dynamics(xbar, U, feet_traj, contact_seq, srbd, dts,
+            lin = linearize_dynamics(xbar, U, feet_traj, contact_seq, p_dyn, dts,
                                      integrator, wrench)
             kff, Kfb = _backward(lin, U, Xref, Uref)
             costs, Us = v_forward(alphas, x0, U, xbar, kff, Kfb, feet_traj,
-                                  contact_seq, Xref, Uref, wrench)
+                                  contact_seq, Xref, Uref, wrench, p_dyn)
             costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(3.4e38))
             best = jnp.argmin(costs)
             U = Us[best]
             cost = costs[best]
-        xs = rollout_nominal(x0, U, feet_traj, contact_seq, srbd, dts, integrator,
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, p_dyn, dts, integrator,
                              wrench)
         grfs = U[0].reshape(4, 3)
         zero = jnp.float32(0.0)

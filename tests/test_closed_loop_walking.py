@@ -54,3 +54,21 @@ def test_stand_still_stays_put():
     hist = h.run(2.0, np.zeros(3))
     assert np.linalg.norm(hist[-1, 0:2]) < 0.15, "drifted while standing"
     assert abs(hist[-1, 2] - cfg.sim.ref_z) < 0.05
+
+
+def test_tamols_enters_stepping_stone_field():
+    """Closed-loop TAMOLS on the six-section stepping-stones course: crosses the
+    flat approach and walks into the stone field (first rows at x=0.65-0.95) without
+    falling within the window. Full-course crossing is an open item (README);
+    deterministic on the CPU platform (fixed seed)."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "mpc.sampling.num_samples": 1000,
+                         "sim.scene": "stepping_stones"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.8,
+                         ref_base_lin_vel=(0.4, 0.0), seed=0)[0]
+    assert not res.fell, f"fell after {res.duration}s at {res.distance:.2f} m"
+    assert res.distance > 0.55, f"only travelled {res.distance:.2f} m"
