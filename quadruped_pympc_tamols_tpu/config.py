@@ -267,6 +267,9 @@ class GradientParams:
 class TamolsParams:
     """TAMOLS foothold-scoring parameters (reference config.py:209-243)."""
 
+    # Swing fraction at which adaptation triggers (reference: mid-swing apex,
+    # wb_interface.py:232; earlier leaves more swing time to reach the stone).
+    trigger_phase: float = 0.5
     search_radius: float = 0.32
     search_resolution: float = 0.04
     gradient_delta: float = 0.04

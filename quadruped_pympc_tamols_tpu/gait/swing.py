@@ -290,10 +290,12 @@ class SwingTrajectoryController:
             else:
                 self.swing_time[leg] = 0.0
 
-    def check_apex_condition(self, current_contact, interval=0.02):
-        """1 when any swing leg is within ±interval of mid-swing
-        (reference swing_trajectory_controller.py:129-138)."""
-        mid = self.swing_period / 2.0
+    def check_apex_condition(self, current_contact, interval=0.02, phase=0.5):
+        """1 when any swing leg is within ±interval of ``phase``*period into its
+        swing (reference swing_trajectory_controller.py:129-138 checks mid-swing;
+        terrain planners may trigger earlier so the foot has more swing time left to
+        reach an adapted foothold)."""
+        mid = self.swing_period * phase
         for leg in range(4):
             if current_contact[leg] == 0 and abs(self.swing_time[leg] - mid) < interval:
                 return 1

@@ -83,6 +83,10 @@ class SRBDControllerInterface:
             grfs, footholds, predicted, status, cost = self.controller.compute_control(
                 state_current, ref_state, contact_sequence,
                 external_wrenches=external_wrenches, **extra)
+            # Kinodynamic variant: joint trajectories consumed directly by the
+            # whole-body layer (reference srbd_controller_interface.py:184-207).
+            self.nmpc_joints_pos = getattr(self.controller, "nmpc_joints_pos", None)
+            self.nmpc_joints_vel = getattr(self.controller, "nmpc_joints_vel", None)
 
         # Mask by current contact (reference srbd_controller_interface.py:225-230).
         grfs = grfs * cur[:, None]

@@ -130,7 +130,8 @@ class WBInterface:
         ref_feet_constraints = None
         if self.vfa is not None:
             if heightmaps is not None \
-                    and self.stc.check_apex_condition(self.current_contact, interval=0.01) \
+                    and self.stc.check_apex_condition(self.current_contact, interval=0.01,
+                                                      phase=cfg.tamols.trigger_phase) \
                     and not self.vfa.initialized:
                 self.vfa.compute_adaptation(
                     heightmaps, np.asarray(ref_feet_pos.data),
@@ -195,6 +196,7 @@ class WBInterface:
         legs_mass_matrix: Legs, nmpc_GRFs: Legs, nmpc_footholds: Legs,
         optimize_swing: int, best_sample_freq: float, base_pos=None, base_rpy=None,
         legs_qfrc_passive: Legs | None = None, contact_points=None,
+        nmpc_joints_pos=None, nmpc_joints_vel=None,
     ):
         """Returns (tau: Legs, des_joints_pos: Legs, des_joints_vel: Legs)."""
         if optimize_swing == 1:
@@ -308,6 +310,13 @@ class WBInterface:
         des_qd = np.zeros((4, 3))
         for leg in range(4):
             des_qd[leg] = np.linalg.pinv(jac[leg]) @ des_foot_vel[leg]
+
+        # Kinodynamic variant: the OCP's joint trajectories override the IK targets
+        # (reference wb_interface.py:440-443).
+        if nmpc_joints_pos is not None:
+            des_q = np.asarray(nmpc_joints_pos)[0].reshape(4, 3)
+            if nmpc_joints_vel is not None:
+                des_qd = np.asarray(nmpc_joints_vel)[0].reshape(4, 3)
 
         # Saturation (reference :446-465).
         q_now = np.asarray(qpos_js.data).reshape(4, 3)

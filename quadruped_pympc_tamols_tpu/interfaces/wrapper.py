@@ -83,7 +83,11 @@ class QuadrupedPyMPCWrapper:
             feet_vel, legs_qfrc_bias, legs_mass_matrix, self.nmpc_GRFs,
             self.nmpc_footholds, optimize_swing, self.best_sample_freq,
             base_pos=base_pos, base_rpy=base_ori_euler_xyz,
-            legs_qfrc_passive=legs_qfrc_passive, contact_points=contact_points)
+            legs_qfrc_passive=legs_qfrc_passive, contact_points=contact_points,
+            nmpc_joints_pos=getattr(self.srbd_controller_interface,
+                                    "nmpc_joints_pos", None),
+            nmpc_joints_vel=getattr(self.srbd_controller_interface,
+                                    "nmpc_joints_vel", None))
 
         self._collect_observables(ref_state, optimize_swing)
         self.des_joints_pos = des_q

@@ -222,3 +222,25 @@ def test_foothold_optimization_moves_foothold_under_disturbance():
     assert status == 0
     moved = np.linalg.norm(fh[1, :2] - np.asarray(ref["ref_foot_FR"]).reshape(3)[:2])
     assert moved > 1e-4  # the optimizer used the foothold degree of freedom
+
+
+def test_kinodynamic_joints_reach_wb_layer():
+    """The kinodynamic OCP's joint trajectories flow through the controller
+    interface into the whole-body layer as joint PD targets (reference
+    srbd_controller_interface.py:184-207, wb_interface.py:440-443)."""
+    from quadruped_pympc_tamols_tpu.interfaces.controller_interface import (
+        SRBDControllerInterface,
+    )
+
+    cfg = make_config("aliengo", mpc_type="kinodynamic")
+    iface = SRBDControllerInterface(cfg)
+    state, ref = _standing(cfg)
+    state = dict(state)
+    for leg, p in zip(("FL", "FR", "RL", "RR"),
+                      ([0.0, 0.8, -1.6],) * 4):
+        state[f"joint_{leg}"] = np.asarray(p)
+    seq = np.ones((4, cfg.mpc.horizon))
+    iface.compute_control(state, ref, seq, current_contact=seq[:, 0])
+    assert iface.nmpc_joints_pos is not None
+    assert iface.nmpc_joints_pos.shape[1] == 12
+    assert np.all(np.isfinite(iface.nmpc_joints_pos))
