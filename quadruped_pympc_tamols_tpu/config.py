@@ -328,7 +328,11 @@ class SimParams:
     dt: float = 0.002
     mpc_frequency: float = 100.0
     gait: str = "trot"
-    swing_generator: str = "bezier_ref"  # 'bezier_ref' | 'scipy' | 'explicit'
+    # 'bezier_ref' | 'scipy' | 'explicit'. 'scipy' is an accepted alias of
+    # 'bezier_ref': the reference's scipy generator exists for its reflex
+    # re-planning, which the bezier path implements natively (gait/swing.py
+    # compute_trajectory_references).
+    swing_generator: str = "bezier_ref"
     # Stiffer than the reference's 500/10 (config.py:198-199): with 500/10 the swing
     # feet droop ~4 cm below the commanded arc, graze the ground mid-swing, and the
     # braking impulse destabilizes the (absolute-force) gradient controllers. 1000/20
@@ -426,4 +430,5 @@ def replace_config(cfg: Config, **overrides) -> Config:
         for obj, name in zip(reversed(objs), reversed(parts)):
             value = dataclasses.replace(obj, **{name: value})
         cfg = value
+    validate_config(cfg)
     return cfg

@@ -246,6 +246,8 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     gp = cfg.mpc.gradient
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
     hw_x, hw_y = gp.foothold_box_halfwidth
+    use_stab = gp.use_static_stability or gp.use_zmp_stability
+    support_residual = make_support_residual(cfg, srbd)
     q = np.concatenate([q_diag_gradient(), np.full(12, 300.0, np.float32)])
     r = np.concatenate([np.full(12, 1e-4, np.float32),  # foot velocity cost
                         r_diag_gradient(cfg.robot.name)])
@@ -260,22 +262,27 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
     def stage_ineq(x, u, contact, fz_max, feet_ref):
         cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min)
-        if not gp.use_foothold_constraints:
-            return cone
-        feet = x[12:].reshape(4, 3)
-        dx = feet[:, 0] - feet_ref[:, 0]
-        dy = feet[:, 1] - feet_ref[:, 1]
-        box = jnp.concatenate([dx - hw_x, -dx - hw_x, dy - hw_y, -dy - hw_y])
-        return jnp.concatenate([cone, box])
+        rows = [cone]
+        if gp.use_foothold_constraints:
+            feet = x[12:].reshape(4, 3)
+            dx = feet[:, 0] - feet_ref[:, 0]
+            dy = feet[:, 1] - feet_ref[:, 1]
+            rows.append(jnp.concatenate([dx - hw_x, -dx - hw_x,
+                                         dy - hw_y, -dy - hw_y]))
+        if use_stab:
+            # Stability over the OPTIMIZED foot states, not the fixed reference.
+            rows.append(support_residual(x[:12], u[12:], contact,
+                                         x[12:].reshape(4, 3))[None])
+        return jnp.concatenate(rows)
 
-    n_ineq = 24 + (16 if gp.use_foothold_constraints else 0)
+    n_ineq = 24 + (16 if gp.use_foothold_constraints else 0) + (1 if use_stab else 0)
     return VariantSpec("foothold", 24, 24, dynamics, stage_ineq, n_ineq, q, r,
                        grfs_of=lambda u, x: u[12:])
 
 
-def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
-    """Plain SRB nominal OCP on the generalized core, with OPTIONAL support-polygon
-    stability constraints (reference centroidal_nmpc_nominal.py:277-381):
+def make_support_residual(cfg: Config, srbd: SRBDParams):
+    """Support-polygon stability residual (reference
+    centroidal_nmpc_nominal.py:277-381):
 
     * use_static_stability: the CoM xy must stay within ``margin`` of the stance
       support segment during 2-stance phases;
@@ -283,23 +290,20 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
       a_xy = sum(c_i f_xy,i)/m (linear in the forces given the state).
 
     The trot/pace/crawl margins come from config (config.py:152-155); with 3+ feet in
-    stance the row is inactive (the polygon case adds little for the gaits used)."""
+    stance the row is inactive (the polygon case adds little for the gaits used).
+    Returns ``residual(x, grf12, contact, feet) -> scalar (<= 0 when satisfied)``."""
     gp = cfg.mpc.gradient
-    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
-    use_stab = gp.use_static_stability or gp.use_zmp_stability
     margin = {0: gp.trot_stability_margin, 1: gp.pace_stability_margin}.get(
         int(cfg.gait_params.gait_type), gp.crawl_stability_margin)
     m_robot = float(srbd.mass)
     grav = float(srbd.gravity)
 
-    def dynamics(x, u, feet, contact, dt):
-        return x + dt * fd(x, feet, u.reshape(4, 3), contact, srbd)
-
-    def _support_residual(x, u, contact, feet):
+    def residual(x, grf12, contact, feet):
         # Support point: CoM xy, or ZMP via the linear-in-u approximation.
         p = x[0:2]
         if gp.use_zmp_stability:
-            a_xy = jnp.sum(u.reshape(4, 3)[:, :2] * contact[:, None], axis=0) / m_robot
+            a_xy = jnp.sum(grf12.reshape(4, 3)[:, :2] * contact[:, None],
+                           axis=0) / m_robot
             p = p - (x[2] / grav) * a_xy
         # Distance to the 2-stance support segment, selected by contact masks.
         def seg_dist(i, j):
@@ -322,11 +326,25 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
             res = jnp.where(mask > 0.5, seg_dist(i, j) - margin, res)
         return res
 
+    return residual
+
+
+def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
+    """Plain SRB nominal OCP on the generalized core, with OPTIONAL support-polygon
+    stability constraints (see make_support_residual)."""
+    gp = cfg.mpc.gradient
+    mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    use_stab = gp.use_static_stability or gp.use_zmp_stability
+    support_residual = make_support_residual(cfg, srbd)
+
+    def dynamics(x, u, feet, contact, dt):
+        return x + dt * fd(x, feet, u.reshape(4, 3), contact, srbd)
+
     def stage_ineq(x, u, contact, fz_max, feet):
         cone = _cone_residual(u, contact, fz_max, mu, grf_min)
         if not use_stab:
             return cone
-        return jnp.concatenate([cone, _support_residual(x, u, contact, feet)[None]])
+        return jnp.concatenate([cone, support_residual(x, u, contact, feet)[None]])
 
     n_ineq = 25 if use_stab else 24
     return VariantSpec("nominal", 12, 12, dynamics, stage_ineq, n_ineq,

@@ -75,7 +75,10 @@ class EarlyStanceDetector:
                   and swing_time[leg] > swing_period - self.early_stance_time_threshold):
                 self.early_stance[leg] = False
             elif not self.early_stance[leg]:
-                if self.trigger_mode == "geom_contact":
+                # geom_contact without contact data (e.g. the runtime controller
+                # node, which has no physics engine) falls back to the
+                # tracking-error trigger rather than silently disarming.
+                if self.trigger_mode == "geom_contact" and contact_points is not None:
                     # Physical-contact trigger (reference early_stance_detector.py:
                     # 90-115): a swing-leg contact whose normal opposes the swing
                     # direction within 60 degrees is a hit.

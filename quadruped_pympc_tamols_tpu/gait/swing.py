@@ -216,6 +216,26 @@ def make_swing_ik_step(robot, generator: str = "bezier_ref"):
     return jax.jit(step)
 
 
+def swing_cartesian_torque(des_pos, des_vel, des_acc, foot_pos, foot_vel, J, J_dot,
+                           q_dot, h, mass_matrix, kp, kd,
+                           feedback_linearization=True):
+    """Cartesian swing-tracking torque for ONE leg (numpy, host path).
+
+    tau = J^T (Kp e_p + Kd e_v) [+ M J^+ (a_des + Kp e_p + Kd e_v - J_dot q_dot) + h]
+    (reference swing_trajectory_controller.py:83-91). Single source for both the
+    per-leg controller method and the whole-body fused host path."""
+    e_p = np.asarray(des_pos).reshape(3) - np.asarray(foot_pos).reshape(3)
+    e_v = np.asarray(des_vel).reshape(3) - np.asarray(foot_vel).reshape(3)
+    fb = kp * e_p + kd * e_v
+    tau = np.asarray(J).T @ fb
+    if feedback_linearization:
+        acc = np.asarray(des_acc).reshape(3) + fb
+        tau = tau + np.asarray(mass_matrix) @ np.linalg.pinv(np.asarray(J)) @ (
+            acc - np.asarray(J_dot) @ np.asarray(q_dot).reshape(3)) \
+            + np.asarray(h).reshape(3)
+    return tau
+
+
 class SwingTrajectoryController:
     """Host-side swing clocks, event detection and torque computation.
 
@@ -225,7 +245,10 @@ class SwingTrajectoryController:
 
     def __init__(self, step_height, swing_period, position_gain_fb, velocity_gain_fb,
                  generator: str = "bezier_ref", reflex_max_step_height: float | None = None):
-        self.generator = generator
+        # 'scipy' is an explicit alias of 'bezier_ref' (see config.SimParams): the
+        # reference's scipy generator exists for reflex re-planning, implemented here
+        # natively in compute_trajectory_references.
+        self.generator = "bezier_ref" if generator == "scipy" else generator
         self.step_height = step_height
         self.swing_period = swing_period
         self.position_gain_fb = position_gain_fb
@@ -273,12 +296,10 @@ class SwingTrajectoryController:
             self.swing_time[leg_id], lift_off, touch_down,
             early_stance_hitmoment, early_stance_hitpoint,
         )
-        e_p = (des_pos - np.asarray(foot_pos)).reshape(3)
-        e_v = (des_vel - np.asarray(foot_vel)).reshape(3)
-        acc = (des_acc + self.position_gain_fb * e_p + self.velocity_gain_fb * e_v).reshape(3)
-        tau = J.T @ (self.position_gain_fb * e_p + self.velocity_gain_fb * e_v)
-        if self.use_feedback_linearization:
-            tau = tau + mass_matrix @ np.linalg.pinv(J) @ (acc - J_dot @ q_dot) + h
+        tau = swing_cartesian_torque(
+            des_pos, des_vel, des_acc, foot_pos, foot_vel, J, J_dot, q_dot, h,
+            mass_matrix, self.position_gain_fb, self.velocity_gain_fb,
+            self.use_feedback_linearization)
         return tau, des_pos, des_vel
 
     # -- clocks & events -----------------------------------------------------

@@ -42,6 +42,10 @@ class SRBDControllerInterface:
             self.controller = VariantGradientMPC(cfg, self.type)
         else:
             raise ValueError(f"unsupported mpc type {self.type!r}")
+        # Only the nominal RTI solver consumes runtime inertia; callers use this to
+        # skip computing the composite tensor entirely (it's a Python loop over all
+        # MuJoCo bodies).
+        self.consumes_inertia = type(self.controller).__name__ == "GradientMPC"
 
     def compute_control(self, state_current: dict, ref_state: dict, contact_sequence,
                         inertia=None, mass=None, external_wrenches=None,
@@ -76,10 +80,12 @@ class SRBDControllerInterface:
             predicted = np.asarray(out.predicted_state)
         else:
             # Runtime inertia (use_inertia_recomputation) is supported by the nominal
-            # RTI solver; the augmented-state variants keep static params.
+            # RTI solver; the augmented-state variants keep static params. A callable
+            # is evaluated lazily here, only when actually consumed.
             extra = {}
-            if inertia is not None and type(self.controller).__name__ == "GradientMPC":
-                extra = dict(inertia=inertia, mass=mass)
+            if inertia is not None and self.consumes_inertia:
+                extra = dict(inertia=inertia() if callable(inertia) else inertia,
+                             mass=mass)
             grfs, footholds, predicted, status, cost = self.controller.compute_control(
                 state_current, ref_state, contact_sequence,
                 external_wrenches=external_wrenches, **extra)

@@ -15,7 +15,6 @@ their modules; this class is the thin stateful host shell around them.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, GAITS, GaitType, LEGS
@@ -56,14 +55,9 @@ class WBInterface:
             self.ik = QPIK(cfg.robot)
         else:
             self.ik = LegKinematics(cfg.robot)
-        # Fused all-leg swing-refs + IK kernel (one device call per control step);
-        # only the analytic IK is stateless enough to fuse.
-        if isinstance(self.ik, LegKinematics):
-            from ..gait.swing import make_swing_ik_step
-            self._swing_ik_step = make_swing_ik_step(cfg.robot,
-                                                     cfg.sim.swing_generator)
-        else:
-            self._swing_ik_step = None
+        # Fused host path (all-leg swing refs + analytic IK in numpy, zero device
+        # calls per control step); only the closed-form IK is stateless enough.
+        self._fused_host_path = isinstance(self.ik, LegKinematics)
         self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
         self.esd = EarlyStanceDetector(
             trigger_mode=cfg.sim.reflex_trigger_mode,
@@ -222,10 +216,7 @@ class WBInterface:
 
         des_foot_pos = np.zeros((4, 3))
         des_foot_vel = np.zeros((4, 3))
-        if self._swing_ik_step is not None:
-            # Fused path: all-leg swing references + IK in ONE device call per step
-            # (the unfused path below dispatches per swing leg plus eager IK ops —
-            # too many round trips for the 500 Hz budget).
+        if self._fused_host_path:
             stc = self.stc
             t_eff = np.asarray(stc.swing_time, np.float32).copy()
             period = np.full(4, stc.swing_period, np.float32)
@@ -256,7 +247,7 @@ class WBInterface:
             des_acc = m * acc
             des_q = self.ik.ik_world_np(des_foot_pos, np.asarray(base_pos),
                                         euler_xyz_to_rot_np(base_rpy))
-            Kp, Kd = stc.position_gain_fb, stc.velocity_gain_fb
+            from ..gait.swing import swing_cartesian_torque
             feet = np.asarray(feet_pos.data)
             fvel = np.asarray(feet_vel.data)
             jdot = np.asarray(feet_jac_dot.data)
@@ -265,14 +256,11 @@ class WBInterface:
             M = np.asarray(legs_mass_matrix.data)
             for leg in range(4):
                 if self.current_contact[leg] == 0:
-                    e_p = des_foot_pos[leg] - feet[leg]
-                    e_v = des_foot_vel[leg] - fvel[leg]
-                    acc = des_acc[leg] + Kp * e_p + Kd * e_v
-                    t_leg = jac[leg].T @ (Kp * e_p + Kd * e_v)
-                    if stc.use_feedback_linearization:
-                        t_leg = t_leg + M[leg] @ np.linalg.pinv(jac[leg]) @ (
-                            acc - jdot[leg] @ qd[leg]) + h_b[leg]
-                    tau[leg] = t_leg
+                    tau[leg] = swing_cartesian_torque(
+                        des_foot_pos[leg], des_foot_vel[leg], des_acc[leg],
+                        feet[leg], fvel[leg], jac[leg], jdot[leg], qd[leg],
+                        h_b[leg], M[leg], stc.position_gain_fb,
+                        stc.velocity_gain_fb, stc.use_feedback_linearization)
         else:
             for leg, leg_name in enumerate(LEGS):
                 if self.current_contact[leg] == 0:
@@ -303,7 +291,7 @@ class WBInterface:
             tau = tau - np.asarray(legs_qfrc_passive.data)
 
         # IK -> joint PD targets (reference :425-438).
-        if self._swing_ik_step is None:
+        if not self._fused_host_path:
             des_q = self.ik.compute_solution(
                 np.asarray(base_pos), np.asarray(base_rpy), des_foot_pos[0],
                 des_foot_pos[1], des_foot_pos[2], des_foot_pos[3]).reshape(4, 3)

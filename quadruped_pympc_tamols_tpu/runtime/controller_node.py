@@ -136,7 +136,16 @@ class ControllerNode:
             s["feet_jac_dot"], s["feet_pos"], s["feet_vel"], s["legs_qfrc_bias"],
             s["legs_mass_matrix"], grfs, footholds, optimize_swing, freq,
             base_pos=s["base_pos"], base_rpy=s["base_ori_euler_xyz"],
-            legs_qfrc_passive=s.get("legs_qfrc_passive"))
+            legs_qfrc_passive=s.get("legs_qfrc_passive"),
+            # Optional estimator-provided contact points for the geom_contact
+            # reflex (None -> detector falls back to the tracking trigger).
+            contact_points=s.get("contact_points"),
+            # Kinodynamic variant: the OCP's joint plan overrides the IK targets
+            # (reference srbd_controller_interface.py:184-207).
+            nmpc_joints_pos=getattr(self.ctrl, "nmpc_joints_pos",
+                                    None),
+            nmpc_joints_vel=getattr(self.ctrl, "nmpc_joints_vel",
+                                    None))
         return tau, des_q, des_qd
 
     def shutdown(self):

@@ -105,7 +105,9 @@ def run_simulation(
                 contact_points=(env.feet_contact_points()
                                 if cfg.sim.reflex_trigger_mode == "geom_contact"
                                 else None),
-                inertia=(env.srb_inertia()
+                # Passed as a CALLABLE: evaluated only on MPC ticks and only by
+                # controllers that consume runtime inertia (it loops over all bodies).
+                inertia=(env.srb_inertia
                          if cfg.sim.use_inertia_recomputation else None),
             )
             # The reference's sim applies the feedforward torque directly

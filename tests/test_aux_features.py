@@ -174,3 +174,24 @@ def test_h5_episode_export(tmp_path):
     with h5py.File(tmp_path / "episode_0.h5", "r") as f:
         assert "base_pos" in f and "time" in f
         assert f["base_pos"].shape[1] == 3
+
+
+def test_replace_config_validates():
+    cfg = make_config("aliengo")
+    with pytest.raises(ValueError, match="ik_solver"):
+        replace_config(cfg, **{"sim.ik_solver": "bogus"})
+
+
+def test_geom_contact_falls_back_to_tracking_without_points():
+    """The runtime node has no physics engine: geom_contact mode with no contact
+    points must still trigger on tracking error (safety regression)."""
+    from quadruped_pympc_tamols_tpu.gait.modulation import EarlyStanceDetector
+
+    esd = EarlyStanceDetector(trigger_mode="geom_contact")
+    feet = Legs(np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.05],
+                          [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]]))
+    des = Legs(np.asarray(feet.data) + np.array([0.15, 0.0, 0.0]))  # big error
+    td = Legs(np.asarray(feet.data) + np.array([0.2, 0.0, 0.0]))
+    esd.update_detection(feet, des, feet, td, [0.05, 0.0, 0.0, 0.0], 0.2,
+                         np.array([0, 1, 1, 1]), contact_points=None)
+    assert esd.early_stance[0] is True
