@@ -63,9 +63,11 @@ def _sharded_iteration_factory(cfg: Config, n_local: int, method: str):
             u3 = jax.random.uniform(k3, (Pn, n_local - 1 - 2 * n3),
                                     minval=-sp.sigma_random[2], maxval=sp.sigma_random[2])
             return jnp.concatenate([jnp.zeros((Pn, 1)), g1, g2, u3], 1).astype(jnp.float32)
+        # mppi: fixed sigma; cem_mppi: the per-parameter adaptive sigma vector.
+        scale = sigma[:, None] if method == "cem_mppi" else sp.sigma_mppi
         return jnp.concatenate(
             [jnp.zeros((Pn, 1)),
-             sp.sigma_mppi * jax.random.normal(key, (Pn, n_local - 1))], 1
+             scale * jax.random.normal(key, (Pn, n_local - 1))], 1
         ).astype(jnp.float32)
 
     def iteration(state12, feet, ref12, seq, best_params, key, sigma):
@@ -84,6 +86,7 @@ def _sharded_iteration_factory(cfg: Config, n_local: int, method: str):
         local_best = jnp.min(costs)
         global_best = jax.lax.pmin(local_best, "sample")  # ICI reduction
 
+        new_sigma = sigma
         if method == "random_sampling":
             li = jnp.argmin(costs)
             onehot = (jnp.arange(n_local) == li).astype(params_vec.dtype)
@@ -91,12 +94,27 @@ def _sharded_iteration_factory(cfg: Config, n_local: int, method: str):
             is_winner = (local_best == global_best).astype(jnp.float32)
             cnt = jax.lax.psum(is_winner, "sample")
             new_params = jax.lax.psum(local_winner * is_winner, "sample") / cnt
-        else:  # mppi: softmax with GLOBAL normalization over all shards
+        else:  # mppi / cem_mppi: softmax with GLOBAL normalization over all shards
             w = jnp.exp(-(costs - global_best) / sp.mppi_temperature)
             denom = jax.lax.psum(jnp.sum(w), "sample")
             update = jax.lax.psum(noise @ w, "sample") / denom
             new_params = best_params + update
-        return new_params, global_best
+            if method == "cem_mppi":
+                # EXACT global top-k elites: per-shard top-k, all_gather the k
+                # candidate columns (Pn x k floats over ICI), re-top-k globally —
+                # identical to the single-chip elite set (reference
+                # centroidal_nmpc_jax.py:1075-1081).
+                k = min(sp.cem_elite, n_local)
+                neg_vals, li = jax.lax.top_k(-costs, k)
+                elite_local = jnp.take(params_vec, li, axis=1)  # (Pn, k)
+                elites = jax.lax.all_gather(elite_local, "sample", axis=1,
+                                            tiled=True)  # (Pn, n_dev*k)
+                vals = jax.lax.all_gather(-neg_vals, "sample", axis=0, tiled=True)
+                _, gi = jax.lax.top_k(-vals, sp.cem_elite)
+                elite = jnp.take(elites, gi, axis=1)  # (Pn, cem_elite)
+                new_sigma = jnp.clip(jnp.std(elite, axis=1),
+                                     sp.cem_sigma_min, sp.cem_sigma_max)
+        return new_params, global_best, new_sigma
 
     return iteration, Pn
 
@@ -109,8 +127,8 @@ def make_sharded_sampling_solver(cfg: Config, mesh: Mesh, num_samples: int | Non
     best_cost)`` (jitted, inputs replicated)."""
     sp = cfg.mpc.sampling
     method = method or sp.method
-    if method not in ("random_sampling", "mppi"):
-        raise ValueError("sharded solver supports random_sampling | mppi")
+    if method not in ("random_sampling", "mppi", "cem_mppi"):
+        raise ValueError("sharded solver supports random_sampling | mppi | cem_mppi")
     N = num_samples or sp.num_samples
     n_dev = mesh.shape["sample"]
     n_local = N // n_dev
@@ -133,12 +151,12 @@ def make_sharded_sampling_solver(cfg: Config, mesh: Mesh, num_samples: int | Non
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
              out_specs=(P(), P(), P()), check_vma=False)
     def _solve(state12, feet, ref12, seq, mpc_state):
-        new_params, best_cost = iteration(state12, feet, ref12, seq,
-                                          mpc_state.best_parameters, mpc_state.key,
-                                          mpc_state.sigma)
+        new_params, best_cost, new_sigma = iteration(
+            state12, feet, ref12, seq, mpc_state.best_parameters, mpc_state.key,
+            mpc_state.sigma)
         key = jax.random.split(mpc_state.key)[0]
         grfs, _ = _extract(new_params, seq, state12, feet)
-        return grfs, SamplingState(new_params, key, mpc_state.sigma), best_cost
+        return grfs, SamplingState(new_params, key, new_sigma), best_cost
 
     return jax.jit(_solve), Pn
 
@@ -203,8 +221,8 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
         # Warm-start reset + sharded sampling iteration (pmin/psum over 'sample').
         keep = jnp.repeat(~liftoff_edge, Pn // 4).astype(jnp.float32)
         params0 = s.mpc.best_parameters * keep
-        new_params, best_cost = iteration(s.x, s.feet, ref12, seq, params0,
-                                          s.mpc.key, s.mpc.sigma)
+        new_params, best_cost, new_sigma = iteration(s.x, s.feet, ref12, seq, params0,
+                                                     s.mpc.key, s.mpc.sigma)
         key = jax.random.split(s.mpc.key)[0]
 
         raw0 = W_big[0:12] @ new_params
@@ -222,7 +240,7 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
         feet = jnp.where(touchdown_edge[:, None], ref_feet.at[:, 2].set(0.0), feet)
 
         s2 = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
-                           SamplingState(new_params, key, s.mpc.sigma))
+                           SamplingState(new_params, key, new_sigma))
         vel_err = jnp.linalg.norm(x_next[3:5] - cmd_vel[:2])
         return s2, (vel_err, best_cost)
 
