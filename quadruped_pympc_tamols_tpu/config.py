@@ -255,8 +255,11 @@ class GradientParams:
     K_z2: Tuple[float, float, float] = (1.0, 4.0, 10.0)
     residual_dynamics_upper_bound: float = 30.0
     use_residual_dynamics_decay: bool = False
-    # Interior-point QP iteration budget; mirrors HPIPM mode caps
-    # (reference centroidal_nmpc_nominal.py:242-251).
+    # QP algorithm: 'mehrotra' (predictor-corrector, HPIPM-style; ~half the
+    # factorizations of 'basic' at equal accuracy) | 'basic' (fixed-sigma PDIP).
+    qp_algorithm: str = "mehrotra"
+    # Interior-point QP iteration budget for the 'basic' algorithm; mirrors HPIPM
+    # mode caps (reference centroidal_nmpc_nominal.py:242-251).
     qp_iters: int = 18
     qp_iters_speed: int = 10
     qp_iters_crazy_speed: int = 5
@@ -399,6 +402,7 @@ _ENUM_FIELDS = {
     "mpc.sampling.method": ("random_sampling", "mppi", "cem_mppi"),
     "mpc.sampling.parametrization": ("zero_order", "linear_spline", "cubic_spline"),
     "mpc.gradient.solver_mode": ("balance", "robust", "speed", "crazy_speed"),
+    "mpc.gradient.qp_algorithm": ("mehrotra", "basic"),
     "mpc.gradient.as_rti_type": ("Standard", "AS-RTI-A", "AS-RTI-B", "AS-RTI-C",
                                  "AS-RTI-D"),
     "sim.swing_generator": ("bezier_ref", "scipy", "explicit"),

@@ -82,3 +82,65 @@ def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0
     gap = jnp.dot(lam, s) / m
     primal_res = jnp.max(jnp.maximum(C @ z - d, 0.0))
     return QPSolution(z, lam, s, gap, primal_res)
+
+
+def pdip_solve_mehrotra(Hm, g, C, d, iters: int = 8, reg: float = 1e-7,
+                        z0=None, mu_floor: float = 1e-5, sl_min: float = 1e-6):
+    """Mehrotra predictor-corrector variant of :func:`pdip_solve`.
+
+    One Cholesky factorization serves BOTH the affine predictor and the corrector
+    solve, and the adaptive centering sigma = (mu_aff/mu)^3 reaches the same
+    complementarity gap in roughly half the iterations — on TPU the sequential
+    144x144 factorizations dominate the solve, so fewer iterations is the lever
+    (HPIPM itself is a Mehrotra-style IPM)."""
+    n = g.shape[0]
+    m = d.shape[0]
+    z = jnp.zeros(n) if z0 is None else z0
+    s = jnp.maximum(d - C @ z, 1.0)
+    lam = jnp.ones(m)
+    I = jnp.eye(n) * reg
+
+    def max_step(v, dv):
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, 0.995 * jnp.min(ratio))
+
+    def body(carry, _):
+        z, lam, s = carry
+        r_d = Hm @ z + g + C.T @ lam
+        r_p = C @ z + s - d
+        mu = jnp.dot(lam, s) / m
+
+        s_safe = jnp.maximum(s, sl_min)
+        w = jnp.clip(lam / s_safe, 0.0, 1e4)
+        K = Hm + (C.T * w[None, :]) @ C + I
+        L = jnp.linalg.cholesky(K)
+
+        def kkt_solve(r_c):
+            rhs = -r_d - C.T @ ((lam * r_p - r_c) / s_safe)
+            dz = jax.scipy.linalg.cho_solve((L, True), rhs)
+            ds = -r_p - C @ dz
+            dlam = -(r_c + lam * ds) / s_safe
+            return dz, ds, dlam
+
+        # Predictor: pure Newton on complementarity (sigma = 0).
+        dz_a, ds_a, dlam_a = kkt_solve(lam * s)
+        a_aff = jnp.minimum(max_step(s, ds_a), max_step(lam, dlam_a))
+        mu_aff = jnp.dot(lam + a_aff * dlam_a, s + a_aff * ds_a) / m
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, mu_floor)) ** 3, 0.0, 1.0)
+
+        # Corrector: centered + second-order term, same factorization.
+        r_c = lam * s - sigma * jnp.maximum(mu, mu_floor) + dlam_a * ds_a
+        dz, ds, dlam = kkt_solve(r_c)
+        alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
+        # Freeze once converged: further f32 Mehrotra steps at the mu floor drift
+        # the iterate instead of polishing it.
+        alpha = alpha * (mu > 2.0 * mu_floor)
+        z = z + alpha * dz
+        s = jnp.maximum(s + alpha * ds, sl_min)
+        lam = jnp.maximum(lam + alpha * dlam, sl_min)
+        return (z, lam, s), None
+
+    (z, lam, s), _ = jax.lax.scan(body, (z, lam, s), None, length=iters)
+    gap = jnp.dot(lam, s) / m
+    primal_res = jnp.max(jnp.maximum(C @ z - d, 0.0))
+    return QPSolution(z, lam, s, gap, primal_res)

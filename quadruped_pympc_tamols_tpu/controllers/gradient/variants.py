@@ -371,8 +371,8 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
     nx, nu, m = spec.nx, spec.nu, spec.n_ineq
     dts = cfg.mpc.dts()
     gp = cfg.mpc.gradient
-    iters = {"balance": gp.qp_iters, "robust": gp.qp_iters + 6,
-             "speed": gp.qp_iters_speed, "crazy_speed": gp.qp_iters_crazy_speed}[gp.solver_mode]
+    from .sqp import qp_solver_for
+    qp_fn, iters = qp_solver_for(gp)
     lm = gp.levenberg_marquardt * spec.lm_scale
     sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
     grf_max = cfg.mpc.grf_max
@@ -433,7 +433,7 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
                 Cb = Cb.at[k * m:(k + 1) * m, :].add(row)
         d = (-cval).reshape(-1)
 
-        sol = pdip_solve(Hm, g, Cb, d, iters=iters)
+        sol = qp_fn(Hm, g, Cb, d, iters=iters)
         return Ubar + sol.z.reshape(H, nu), sol
 
     def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
