@@ -386,8 +386,22 @@ def make_config(
     ref_z = hip_height (config.py:266), tamols h_des = hip_height (config.py:231).
     """
     rp = ROBOTS[robot]
-    mpc = MPCParams(type=mpc_type, grf_max=rp.mass * GRAVITY)
-    sim = SimParams(gait=gait, step_height=0.3 * rp.hip_height, ref_z=rp.hip_height)
+    # Mass-proportional scaling anchored at aliengo (24.637 kg): leg inertia and
+    # required forces grow with robot mass, so the Cartesian swing / joint-impedance
+    # gains and the sampling force-delta limits scale with it — an 83 kg b2 with
+    # aliengo gains has droopy swings and a 30 N z-delta that cannot redistribute a
+    # 205 N/leg gravity share (both verified closed-loop). Floored at 1: lighter
+    # robots track fine (better, measured) at the aliengo gains.
+    scale = max(1.0, rp.mass / 24.637)
+    mpc = MPCParams(type=mpc_type, grf_max=rp.mass * GRAVITY,
+                    sampling=SamplingParams(max_force_x=10.0 * scale,
+                                            max_force_y=10.0 * scale,
+                                            max_force_z=30.0 * scale))
+    sim = SimParams(gait=gait, step_height=0.3 * rp.hip_height, ref_z=rp.hip_height,
+                    swing_position_gain_fb=1000.0 * scale,
+                    swing_velocity_gain_fb=20.0 * scale,
+                    impedance_joint_position_gain=10.0 * scale,
+                    impedance_joint_velocity_gain=2.0 * scale)
     tam = TamolsParams(h_des=rp.hip_height)
     cfg = Config(robot=rp, mpc=mpc, sim=sim, gait_params=GAITS[gait], tamols=tam)
     if overrides:

@@ -128,3 +128,17 @@ def test_fleet_success_rate_randomized():
                                      friction_range=(0.6, 1.0), seed=0, inline=True)
         assert st.success_rate == 1.0, f"{mpc_type}: {st}"
         assert st.mean_tracking_error < 0.15
+
+
+@pytest.mark.parametrize("robot", ["go2", "b2", "hyqreal2"])
+def test_other_robots_trot_full_physics(robot):
+    """Mass-proportional gain/force-limit scaling (make_config) generalizes the
+    trot across the robot registry: a 15 kg go2, an 83 kg b2 and a 127 kg hyqreal2
+    all walk with the default sampling controller."""
+    cfg = make_config(robot, mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.sampling.num_samples": 1000})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.5,
+                         ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
+    assert not res.fell, f"{robot} fell after {res.duration}s"
+    assert res.distance > 0.25, f"{robot} travelled {res.distance:.2f} m"
