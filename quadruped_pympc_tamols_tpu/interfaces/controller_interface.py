@@ -58,6 +58,21 @@ class SRBDControllerInterface:
         prev = np.asarray(previous_contact if previous_contact is not None else cur,
                           np.float32)
 
+        # Recenter the world around the base xy before solving (reference
+        # perform_scaling, centroidal_nmpc_nominal.py:1116-1135): all solvers run in
+        # float32, and absolute coordinates O(100 m) after minutes of walking erode
+        # the torque-arm differences (foot - com) to ~1e-4 m precision.
+        shift = np.zeros(3)
+        shift[:2] = np.asarray(state_current["position"], np.float64).reshape(3)[:2]
+        state_current = dict(state_current)
+        ref_state = dict(ref_state)
+        for k in ("position", "foot_FL", "foot_FR", "foot_RL", "foot_RR"):
+            state_current[k] = np.asarray(state_current[k], np.float64).reshape(3) - shift
+        for k in ("ref_position", "ref_foot_FL", "ref_foot_FR", "ref_foot_RL",
+                  "ref_foot_RR"):
+            ref_state[k] = np.asarray(ref_state[k], np.float64).reshape(-1, 3) - shift
+        ref_state["ref_position"] = ref_state["ref_position"].reshape(3)
+
         if self.type == "sampling":
             import jax
 
@@ -96,7 +111,11 @@ class SRBDControllerInterface:
 
         # Mask by current contact (reference srbd_controller_interface.py:225-230).
         grfs = grfs * cur[:, None]
-        return Legs(grfs), Legs(np.asarray(footholds)), self.best_sample_freq, predicted
+        # Undo the recentering on position-valued outputs (GRFs are invariant).
+        footholds = np.asarray(footholds, np.float64) + shift
+        predicted = np.asarray(predicted, np.float64).copy()
+        predicted[:3] = predicted[:3] + shift
+        return Legs(grfs), Legs(footholds), self.best_sample_freq, predicted
 
     def compute_rti(self):
         """RTI preparation phase (reference :242-245). The fused TPU solver completes

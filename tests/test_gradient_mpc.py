@@ -241,3 +241,35 @@ def test_runtime_inertia_recomputation():
     np.testing.assert_allclose(g1, g0, atol=0.5)
     assert np.abs(g2 - g1).max() > 0.5
     assert np.isfinite(c1) and np.isfinite(c2)
+
+
+def test_recentering_far_from_origin():
+    """The controller interface recenters around the base xy (reference
+    perform_scaling): solving 10 km from the origin yields the same GRFs as at the
+    origin despite float32 solvers."""
+    from quadruped_pympc_tamols_tpu.interfaces.controller_interface import (
+        SRBDControllerInterface,
+    )
+
+    def solve_at(offset):
+        cfg = make_config("aliengo", mpc_type="nominal")
+        iface = SRBDControllerInterface(cfg)
+        state, ref = _standing(cfg, z=cfg.sim.ref_z - 0.03)
+        state = dict(state); ref = dict(ref)
+        off = np.array([offset, offset / 2, 0.0])
+        for k in ("foot_FL", "foot_FR", "foot_RL", "foot_RR"):
+            state[k] = np.asarray(state[k]) + off
+        state["position"] = np.asarray(state["position"]) + off
+        ref["ref_position"] = np.asarray(ref["ref_position"]) + off
+        for k in ("ref_foot_FL", "ref_foot_FR", "ref_foot_RL", "ref_foot_RR"):
+            ref[k] = np.asarray(ref[k]) + off
+        seq = np.ones((4, cfg.mpc.horizon))
+        grfs, fh, freq, pred = iface.compute_control(state, ref, seq)
+        return np.asarray(grfs.data), np.asarray(fh.data), np.asarray(pred)
+
+    g0, fh0, p0 = solve_at(0.0)
+    g1, fh1, p1 = solve_at(10000.0)
+    np.testing.assert_allclose(g1, g0, atol=0.5)
+    # Outputs come back in WORLD coordinates.
+    np.testing.assert_allclose(fh1[:, 0] - fh0[:, 0], 10000.0, atol=1e-3)
+    np.testing.assert_allclose(p1[0] - p0[0], 10000.0, atol=1e-3)
