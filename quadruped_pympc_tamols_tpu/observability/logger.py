@@ -24,11 +24,26 @@ import numpy as np
 
 
 class EpisodeLogger:
-    def __init__(self, path: str, flush_every: int = 50):
+    def __init__(self, path: str, flush_every: int = 50, flush_on_sigint: bool = False):
         self.path = path
         self.flush_every = flush_every
         self.buffers: dict[str, list] = collections.defaultdict(list)
         self._count = 0
+        if flush_on_sigint:
+            # Flush-then-reraise on Ctrl-C (the reference MatLogger's SIGINT hook,
+            # simulation.py:214-230); opt-in since it installs a process-wide handler.
+            import signal
+
+            prev = signal.getsignal(signal.SIGINT)
+
+            def _handler(signum, frame):
+                self.flush()
+                if callable(prev):
+                    prev(signum, frame)
+                else:
+                    raise KeyboardInterrupt
+
+            signal.signal(signal.SIGINT, _handler)
 
     def log(self, t: float, env, wrapper) -> None:
         b = self.buffers

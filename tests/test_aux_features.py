@@ -195,3 +195,19 @@ def test_geom_contact_falls_back_to_tracking_without_points():
     esd.update_detection(feet, des, feet, td, [0.05, 0.0, 0.0, 0.0], 0.2,
                          np.array([0, 1, 1, 1]), contact_points=None)
     assert esd.early_stance[0] is True
+
+
+def test_logger_sigint_flush(tmp_path):
+    import os as _os
+    import signal
+
+    from quadruped_pympc_tamols_tpu.observability.logger import EpisodeLogger
+
+    path = str(tmp_path / "ep.npz")
+    logger = EpisodeLogger(path, flush_every=10_000, flush_on_sigint=True)
+    logger.buffers["x"].append(np.arange(3.0))
+    with pytest.raises(KeyboardInterrupt):
+        _os.kill(_os.getpid(), signal.SIGINT)
+    assert _os.path.exists(path)
+    assert np.allclose(np.load(path)["x"][0], [0, 1, 2])
+    signal.signal(signal.SIGINT, signal.default_int_handler)
