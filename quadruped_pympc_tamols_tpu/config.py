@@ -273,6 +273,10 @@ class TamolsParams:
     # Swing fraction at which adaptation triggers (reference: mid-swing apex,
     # wb_interface.py:232; earlier leaves more swing time to reach the stone).
     trigger_phase: float = 0.5
+    # Re-plan the remaining swing from the current foot position when adaptation
+    # moves the touchdown > 3 cm (otherwise the foot descends on the stale
+    # lift-off curve and lands short of the moved target).
+    retarget_swing: bool = True
     search_radius: float = 0.32
     search_resolution: float = 0.04
     gradient_delta: float = 0.04

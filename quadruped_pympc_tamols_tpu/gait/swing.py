@@ -260,6 +260,16 @@ class SwingTrajectoryController:
         self.use_feedback_linearization = True
         self.use_friction_compensation = True
         self.rising_edge_detected = False
+        # Mid-swing re-targets (terrain planner moved the touchdown): re-plan the
+        # remaining swing from this point, same mechanism as reflex re-planning.
+        self.retarget_points: list = [None] * 4
+        self.retarget_moments = [-1.0] * 4
+
+    def retarget(self, leg_id, from_point, at_moment):
+        """Re-plan leg_id's remaining swing from ``from_point`` (reached at
+        ``at_moment`` into the swing) toward the (new) touchdown target."""
+        self.retarget_points[leg_id] = np.asarray(from_point, np.float64).copy()
+        self.retarget_moments[leg_id] = float(at_moment)
 
     def regenerate_swing_trajectory_generator(self, step_height, swing_period):
         self.step_height = step_height
@@ -310,6 +320,8 @@ class SwingTrajectoryController:
                     self.swing_time[leg] += dt
             else:
                 self.swing_time[leg] = 0.0
+                self.retarget_points[leg] = None
+                self.retarget_moments[leg] = -1.0
 
     def check_apex_condition(self, current_contact, interval=0.02, phase=0.5):
         """1 when any swing leg is within ±interval of ``phase``*period into its

@@ -127,11 +127,25 @@ class WBInterface:
                     and self.stc.check_apex_condition(self.current_contact, interval=0.01,
                                                       phase=cfg.tamols.trigger_phase) \
                     and not self.vfa.initialized:
+                seeds = np.asarray(ref_feet_pos.data)
                 self.vfa.compute_adaptation(
-                    heightmaps, np.asarray(ref_feet_pos.data),
+                    heightmaps, seeds,
                     np.asarray(hip_pos.data), np.asarray(base_pos),
                     np.asarray(base_lin_vel), self.current_contact,
                     np.asarray(feet_pos.data))
+                # When the planner moved a touchdown substantially, RE-PLAN the
+                # remaining swing from the current foot position (the reflex
+                # re-planning machinery) instead of evaluating the stale lift-off
+                # curve mid-flight — otherwise the foot descends on the old arc and
+                # lands short of the stone.
+                if cfg.tamols.retarget_swing:
+                    adapted = np.asarray(self.vfa.footholds_adaptation)
+                    feet_now_arr = np.asarray(feet_pos.data)
+                    for leg in range(4):
+                        if self.current_contact[leg] == 0 and \
+                                np.linalg.norm(adapted[leg, :2] - seeds[leg, :2]) > 0.03:
+                            self.stc.retarget(leg, feet_now_arr[leg],
+                                              float(self.stc.swing_time[leg]))
             if self.stc.check_full_stance_condition(self.current_contact):
                 self.vfa.reset()
             adapted, constraints = self.vfa.get_footholds_adapted(
@@ -224,11 +238,15 @@ class WBInterface:
             lo = np.asarray(self.frg.lift_off_positions.data, np.float32).copy()
             for leg in range(4):
                 hm, hp = self.esd.hitmoments[leg], self.esd.hitpoints[leg]
+                if hp is None and stc.retarget_points[leg] is not None:
+                    # Planner-moved touchdown: same re-planning, normal apex.
+                    hm, hp = stc.retarget_moments[leg], stc.retarget_points[leg]
+                elif hp is not None and hm >= 0.0:
+                    step_h[leg] = stc.reflex_max_step_height
                 if hp is not None and hm >= 0.0:
-                    # Reflex re-planning from the hitpoint with a raised apex
+                    # Reflex re-planning from the hitpoint
                     # (reference scipy_swing_trajectory_generator.py:25-47).
                     lo[leg] = np.asarray(hp, np.float32)
-                    step_h[leg] = stc.reflex_max_step_height
                     period[leg] = max(stc.swing_period - hm, 1e-3)
                     t_eff[leg] = t_eff[leg] - hm
             swing_mask = (np.asarray(self.current_contact) == 0).astype(np.float32)

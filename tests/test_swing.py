@@ -116,3 +116,24 @@ def test_numpy_twins_match_jitted():
                       [0.0, 0.09, -0.35], [0.05, -0.1, -0.28]])
     np.testing.assert_allclose(kin.ik_all_np(p_hip), np.asarray(kin.ik_all(p_hip)),
                                atol=1e-5)
+
+
+def test_swing_retarget_replans_to_new_target():
+    """After retarget(), the remaining swing re-plans from the retarget point and
+    lands exactly on the (new) touchdown at the end of the period."""
+    from quadruped_pympc_tamols_tpu.gait.swing import SwingTrajectoryController
+
+    stc = SwingTrajectoryController(step_height=0.1, swing_period=0.3,
+                                    position_gain_fb=1000, velocity_gain_fb=20)
+    stc.swing_time[1] = 0.15
+    mid = np.array([0.30, -0.15, 0.08])
+    stc.retarget(1, mid, 0.15)
+    new_td = np.array([0.45, -0.15, 0.0])
+    # Evaluate at the end of the swing via the re-planned curve.
+    pos, vel, acc = stc.compute_trajectory_references(
+        0.3 - 1e-9, lift_off=mid, touch_down=new_td,
+        hitmoment=stc.retarget_moments[1], hitpoint=stc.retarget_points[1])
+    np.testing.assert_allclose(pos, new_td, atol=1e-3)
+    # Touchdown clears the retarget.
+    stc.update_swing_time([1, 1, 1, 1], 0.002)
+    assert stc.retarget_points[1] is None
