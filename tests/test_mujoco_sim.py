@@ -142,3 +142,16 @@ def test_other_robots_trot_full_physics(robot):
                          ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
     assert not res.fell, f"{robot} fell after {res.duration}s"
     assert res.distance > 0.25, f"{robot} travelled {res.distance:.2f} m"
+
+
+@pytest.mark.parametrize("variant", ["input_rates", "lyapunov", "collaborative",
+                                     "kinodynamic"])
+def test_variants_trot_full_physics(variant):
+    """Every gradient-MPC variant trots in full contact physics (kinodynamic tracks
+    best: its OCP joint plan feeds the whole-body PD directly)."""
+    cfg = make_config("aliengo", mpc_type=variant,
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.5,
+                         ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
+    assert not res.fell, f"{variant} fell after {res.duration}s"
+    assert res.distance > 0.15, f"{variant} travelled {res.distance:.2f} m"
