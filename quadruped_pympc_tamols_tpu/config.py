@@ -390,17 +390,20 @@ def make_config(
     ref_z = hip_height (config.py:266), tamols h_des = hip_height (config.py:231).
     """
     rp = ROBOTS[robot]
-    # Mass-proportional scaling anchored at aliengo (24.637 kg): leg inertia and
-    # required forces grow with robot mass, so the Cartesian swing / joint-impedance
-    # gains and the sampling force-delta limits scale with it — an 83 kg b2 with
-    # aliengo gains has droopy swings and a 30 N z-delta that cannot redistribute a
-    # 205 N/leg gravity share (both verified closed-loop). Floored at 1: lighter
-    # robots track fine (better, measured) at the aliengo gains.
-    scale = max(1.0, rp.mass / 24.637)
+    # Mass-proportional scaling anchored at aliengo: leg inertia and required
+    # forces grow with robot mass, so the Cartesian swing / joint-impedance gains
+    # and the sampling exploration sigmas (which are in NEWTONS of force delta)
+    # scale with it — an 83 kg b2 with aliengo gains has droopy swings (verified
+    # closed-loop). Floored at 1: lighter robots track fine (better, measured) at
+    # the aliengo values. Note max_force_x/y/z are consumed only as x/z, y/z cone
+    # RATIOS (invariant under uniform scaling), so they stay at defaults.
+    scale = max(1.0, rp.mass / ROBOTS["aliengo"].mass)
+    s_rand = SamplingParams().sigma_random
     mpc = MPCParams(type=mpc_type, grf_max=rp.mass * GRAVITY,
-                    sampling=SamplingParams(max_force_x=10.0 * scale,
-                                            max_force_y=10.0 * scale,
-                                            max_force_z=30.0 * scale))
+                    sampling=SamplingParams(
+                        sigma_mppi=3.0 * scale,
+                        sigma_cem_mppi=3.0 * scale,
+                        sigma_random=tuple(s * scale for s in s_rand)))
     sim = SimParams(gait=gait, step_height=0.3 * rp.hip_height, ref_z=rp.hip_height,
                     swing_position_gain_fb=1000.0 * scale,
                     swing_velocity_gain_fb=20.0 * scale,

@@ -39,7 +39,7 @@ from .ocp import (
     r_diag_gradient,
     rollout_nominal,
 )
-from .qp import pdip_solve
+from .qp import pdip_solve, pdip_solve_mehrotra
 
 
 class RTISolution(NamedTuple):
@@ -62,8 +62,6 @@ def qp_solver_for(gp):
     Mehrotra predictor-corrector (default, the HPIPM-style IPM) reaches the basic
     solver's accuracy in ~half the factorizations: measured 1.17 ms vs 1.65 ms per
     RTI solve on TPU v5e at identical GRFs (3 mN max deviation)."""
-    from .qp import pdip_solve, pdip_solve_mehrotra
-
     if gp.qp_algorithm == "mehrotra":
         iters = {"balance": 8, "robust": 12, "speed": 6,
                  "crazy_speed": 4}[gp.solver_mode]

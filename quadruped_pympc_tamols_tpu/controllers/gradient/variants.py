@@ -34,7 +34,6 @@ import numpy as np
 from ...config import Config
 from ...dynamics.srbd import SRBDParams, fd, make_params
 from .ocp import OCPDims, build_feet_trajectory, q_diag_gradient, r_diag_gradient
-from .qp import pdip_solve
 
 
 @dataclasses.dataclass(frozen=True)

@@ -277,10 +277,13 @@ class SwingTrajectoryController:
 
     # -- trajectory ---------------------------------------------------------
     def compute_trajectory_references(self, swing_time, lift_off, touch_down,
-                                      hitmoment=-1.0, hitpoint=None):
+                                      hitmoment=-1.0, hitpoint=None,
+                                      hit_step_height=None):
         """Per-leg desired (pos, vel, acc). Reflex re-planning: when an early-stance
         hitpoint exists, restart the curve from the hitpoint with a raised apex and the
-        remaining time compressed (reference scipy_swing_trajectory_generator.py:25-47)."""
+        remaining time compressed (reference scipy_swing_trajectory_generator.py:25-47).
+        ``hit_step_height`` overrides the re-plan apex (reflex_max by default;
+        planner re-targets pass the normal step height)."""
         lift_off = np.asarray(lift_off, np.float64).reshape(3)
         touch_down = np.asarray(touch_down, np.float64).reshape(3)
         step_height = self.step_height
@@ -288,7 +291,8 @@ class SwingTrajectoryController:
         t = swing_time
         if hitpoint is not None and hitmoment >= 0.0:
             lift_off = np.asarray(hitpoint, np.float64).reshape(3)
-            step_height = self.reflex_max_step_height
+            step_height = (self.reflex_max_step_height if hit_step_height is None
+                           else hit_step_height)
             period = max(self.swing_period - hitmoment, 1e-3)
             t = swing_time - hitmoment
         fn = explicit_swing_refs_jit if self.generator == "explicit" else bezier_swing_refs_jit
@@ -302,10 +306,13 @@ class SwingTrajectoryController:
         self, leg_id, q_dot, J, J_dot, lift_off, touch_down, foot_pos, foot_vel,
         h, mass_matrix, early_stance_hitmoment=-1.0, early_stance_hitpoint=None,
     ):
+        hm, hp, hit_sh = early_stance_hitmoment, early_stance_hitpoint, None
+        if hp is None and self.retarget_points[leg_id] is not None:
+            # Planner-moved touchdown: same re-planning, normal apex.
+            hm, hp = self.retarget_moments[leg_id], self.retarget_points[leg_id]
+            hit_sh = self.step_height
         des_pos, des_vel, des_acc = self.compute_trajectory_references(
-            self.swing_time[leg_id], lift_off, touch_down,
-            early_stance_hitmoment, early_stance_hitpoint,
-        )
+            self.swing_time[leg_id], lift_off, touch_down, hm, hp, hit_sh)
         tau = swing_cartesian_torque(
             des_pos, des_vel, des_acc, foot_pos, foot_vel, J, J_dot, q_dot, h,
             mass_matrix, self.position_gain_fb, self.velocity_gain_fb,

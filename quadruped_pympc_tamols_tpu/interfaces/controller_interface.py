@@ -15,6 +15,24 @@ from ..config import Config
 from ..utils.legs import Legs
 
 
+def recenter_state_and_reference(state_current: dict, ref_state: dict):
+    """Shift the world so the base is at xy=0 (reference perform_scaling,
+    centroidal_nmpc_nominal.py:1116-1135): float32 solvers lose torque-arm
+    precision at O(100 m) absolute coordinates. Returns (state, ref, shift);
+    position-valued OUTPUTS must add ``shift`` back."""
+    shift = np.zeros(3)
+    shift[:2] = np.asarray(state_current["position"], np.float64).reshape(3)[:2]
+    state_current = dict(state_current)
+    ref_state = dict(ref_state)
+    for k in ("position", "foot_FL", "foot_FR", "foot_RL", "foot_RR"):
+        state_current[k] = np.asarray(state_current[k], np.float64).reshape(3) - shift
+    for k in ("ref_position", "ref_foot_FL", "ref_foot_FR", "ref_foot_RL",
+              "ref_foot_RR"):
+        ref_state[k] = np.asarray(ref_state[k], np.float64).reshape(-1, 3) - shift
+    ref_state["ref_position"] = ref_state["ref_position"].reshape(3)
+    return state_current, ref_state, shift
+
+
 class SRBDControllerInterface:
     def __init__(self, cfg: Config, seed: int = 42):
         self.cfg = cfg
@@ -58,20 +76,8 @@ class SRBDControllerInterface:
         prev = np.asarray(previous_contact if previous_contact is not None else cur,
                           np.float32)
 
-        # Recenter the world around the base xy before solving (reference
-        # perform_scaling, centroidal_nmpc_nominal.py:1116-1135): all solvers run in
-        # float32, and absolute coordinates O(100 m) after minutes of walking erode
-        # the torque-arm differences (foot - com) to ~1e-4 m precision.
-        shift = np.zeros(3)
-        shift[:2] = np.asarray(state_current["position"], np.float64).reshape(3)[:2]
-        state_current = dict(state_current)
-        ref_state = dict(ref_state)
-        for k in ("position", "foot_FL", "foot_FR", "foot_RL", "foot_RR"):
-            state_current[k] = np.asarray(state_current[k], np.float64).reshape(3) - shift
-        for k in ("ref_position", "ref_foot_FL", "ref_foot_FR", "ref_foot_RL",
-                  "ref_foot_RR"):
-            ref_state[k] = np.asarray(ref_state[k], np.float64).reshape(-1, 3) - shift
-        ref_state["ref_position"] = ref_state["ref_position"].reshape(3)
+        state_current, ref_state, shift = recenter_state_and_reference(
+            state_current, ref_state)
 
         if self.type == "sampling":
             import jax
@@ -144,6 +150,11 @@ class SRBDBatchedControllerInterface:
         import jax.numpy as jnp
 
         from ..gait.periodic import contact_sequence, make_timer_dts
+
+        # Same float32 recentering as the main solve; only the best FREQUENCY is
+        # returned, so there is nothing to shift back.
+        state_current, ref_state, _ = recenter_state_and_reference(
+            state_current, ref_state)
 
         t_off = make_timer_dts(self.cfg.mpc)
         freqs = jnp.asarray(self.cfg.mpc.step_freq_available)

@@ -23,6 +23,36 @@ import time
 import numpy as np
 
 
+# Loggers registered for SIGINT flushing. Weak references: a finished logger is
+# garbage-collected normally and silently drops out of the flush set. ONE handler
+# is installed process-wide on first use and chains to the previous handler.
+_SIGINT_LOGGERS: "weakref.WeakSet" = None  # type: ignore[assignment]
+_SIGINT_PREV = None
+
+
+def _install_sigint_flush():
+    global _SIGINT_LOGGERS, _SIGINT_PREV
+    import signal
+    import weakref
+
+    if _SIGINT_LOGGERS is not None:
+        return
+    _SIGINT_LOGGERS = weakref.WeakSet()
+    _SIGINT_PREV = signal.getsignal(signal.SIGINT)
+
+    def _handler(signum, frame):
+        for logger in list(_SIGINT_LOGGERS):
+            try:
+                logger.flush()
+            except Exception:
+                pass
+        if callable(_SIGINT_PREV):
+            _SIGINT_PREV(signum, frame)
+        # SIG_IGN / SIG_DFL predecessors: preserve "ignore" semantics (no raise).
+
+    signal.signal(signal.SIGINT, _handler)
+
+
 class EpisodeLogger:
     def __init__(self, path: str, flush_every: int = 50, flush_on_sigint: bool = False):
         self.path = path
@@ -30,20 +60,11 @@ class EpisodeLogger:
         self.buffers: dict[str, list] = collections.defaultdict(list)
         self._count = 0
         if flush_on_sigint:
-            # Flush-then-reraise on Ctrl-C (the reference MatLogger's SIGINT hook,
-            # simulation.py:214-230); opt-in since it installs a process-wide handler.
-            import signal
-
-            prev = signal.getsignal(signal.SIGINT)
-
-            def _handler(signum, frame):
-                self.flush()
-                if callable(prev):
-                    prev(signum, frame)
-                else:
-                    raise KeyboardInterrupt
-
-            signal.signal(signal.SIGINT, _handler)
+            # Flush on Ctrl-C (the reference MatLogger's SIGINT hook,
+            # simulation.py:214-230). One process-wide handler; weakly-referenced
+            # loggers so per-episode instances don't accumulate.
+            _install_sigint_flush()
+            _SIGINT_LOGGERS.add(self)
 
     def log(self, t: float, env, wrapper) -> None:
         b = self.buffers

@@ -55,27 +55,32 @@ def _sharded_iteration_factory(cfg: Config, n_local: int, method: str):
                           cfg.mpc.grf_min, cfg.mpc.grf_max, cfg.mpc.mu)
     n3 = n_local // 3
 
-    def _noise(key, sigma):
+    def _noise(key, sigma, keep_col0):
+        """keep_col0: 1.0 only on shard 0 — otherwise every shard would carry a
+        duplicate zero-noise incumbent, which (for cem_mppi) floods the global
+        elite set with identical columns and collapses the refit sigma."""
         if method == "random_sampling":
-            k1, k2, k3 = jax.random.split(key, 3)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
             g1 = sp.sigma_random[0] * jax.random.normal(k1, (Pn, n3))
             g2 = sp.sigma_random[1] * jax.random.normal(k2, (Pn, n3))
             u3 = jax.random.uniform(k3, (Pn, n_local - 1 - 2 * n3),
                                     minval=-sp.sigma_random[2], maxval=sp.sigma_random[2])
-            return jnp.concatenate([jnp.zeros((Pn, 1)), g1, g2, u3], 1).astype(jnp.float32)
+            col0 = (1.0 - keep_col0) * sp.sigma_random[1] * jax.random.normal(k4, (Pn, 1))
+            return jnp.concatenate([col0, g1, g2, u3], 1).astype(jnp.float32)
         # mppi: fixed sigma; cem_mppi: the per-parameter adaptive sigma vector.
         scale = sigma[:, None] if method == "cem_mppi" else sp.sigma_mppi
+        k1, k2 = jax.random.split(key)
+        col0 = (1.0 - keep_col0) * scale * jax.random.normal(k2, (Pn, 1))
         return jnp.concatenate(
-            [jnp.zeros((Pn, 1)),
-             scale * jax.random.normal(key, (Pn, n_local - 1))], 1
+            [col0, scale * jax.random.normal(k1, (Pn, n_local - 1))], 1
         ).astype(jnp.float32)
 
     def iteration(state12, feet, ref12, seq, best_params, key, sigma):
-        # Each sample-shard draws its own noise slice via axis-index key folding; the
-        # incumbent zero column is only on shard 0 (harmless: other shards explore).
+        # Each sample-shard draws its own noise slice via axis-index key folding;
+        # the incumbent zero-noise column exists ONLY on shard 0.
         idx = jax.lax.axis_index("sample")
         key = jax.random.fold_in(key, idx)
-        noise = _noise(key, sigma)
+        noise = _noise(key, sigma, (idx == 0).astype(jnp.float32))
         params_vec = best_params[:, None] + noise
         raw = (W_big @ params_vec).reshape(H, 12, n_local)
         n_stance = jnp.sum(seq, axis=0)
@@ -112,7 +117,10 @@ def _sharded_iteration_factory(cfg: Config, n_local: int, method: str):
                 vals = jax.lax.all_gather(-neg_vals, "sample", axis=0, tiled=True)
                 _, gi = jax.lax.top_k(-vals, sp.cem_elite)
                 elite = jnp.take(elites, gi, axis=1)  # (Pn, cem_elite)
-                new_sigma = jnp.clip(jnp.std(elite, axis=1),
+                # Same refit as the single-chip solver (sampling_mpc.py): unbiased
+                # variance + epsilon, then clamp.
+                var = jnp.var(elite, axis=1, ddof=1) + 1e-8
+                new_sigma = jnp.clip(jnp.sqrt(var),
                                      sp.cem_sigma_min, sp.cem_sigma_max)
         return new_params, global_best, new_sigma
 

@@ -129,10 +129,13 @@ def test_swing_retarget_replans_to_new_target():
     mid = np.array([0.30, -0.15, 0.08])
     stc.retarget(1, mid, 0.15)
     new_td = np.array([0.45, -0.15, 0.0])
-    # Evaluate at the end of the swing via the re-planned curve.
-    pos, vel, acc = stc.compute_trajectory_references(
-        0.3 - 1e-9, lift_off=mid, touch_down=new_td,
-        hitmoment=stc.retarget_moments[1], hitpoint=stc.retarget_points[1])
+    # The control entry picks up the retarget automatically (normal apex).
+    stc.swing_time[1] = 0.3 - 1e-9
+    tau, pos, vel = stc.compute_swing_control_cartesian_space(
+        leg_id=1, q_dot=np.zeros(3), J=np.eye(3), J_dot=np.zeros((3, 3)),
+        lift_off=np.array([0.25, -0.15, 0.0]), touch_down=new_td,
+        foot_pos=mid, foot_vel=np.zeros(3), h=np.zeros(3),
+        mass_matrix=np.eye(3))
     np.testing.assert_allclose(pos, new_td, atol=1e-3)
     # Touchdown clears the retarget.
     stc.update_swing_time([1, 1, 1, 1], 0.002)
