@@ -64,14 +64,19 @@ def main():
     st2 = solve_chain(st)
     jax.block_until_ready(st2)
 
-    # Device throughput: K chained solves per jitted call, repeated.
+    # Device throughput: K chained solves per jitted call; best-of-3 batches of
+    # reps (the remote-TPU tunnel adds multi-x run-to-run variance; the minimum is
+    # the stable device-time estimate).
     reps = 10
-    t0 = time.perf_counter()
+    per_solve_ms = 1e9
     s = st
-    for _ in range(reps):
-        s = solve_chain(s)
-    jax.block_until_ready(s)
-    per_solve_ms = (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s = solve_chain(s)
+        jax.block_until_ready(s)
+        per_solve_ms = min(per_solve_ms,
+                           (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
 
     # Single-call sync latency (includes tunnel dispatch overhead).
     sync = []
@@ -144,12 +149,15 @@ def bench_pallas(cfg):
 
         jax.block_until_ready(chain(st))
         reps = 10
-        t0 = time.perf_counter()
+        best = 1e9
         r = st
-        for _ in range(reps):
-            r = chain(r)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = chain(r)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
+        return best
     except Exception:
         return None
 
@@ -180,9 +188,12 @@ def bench_tamols(cfg):
             return jax.lax.fori_loop(0, CHAIN, body, x)
 
         jax.block_until_ready(chain(jnp.float32(0.0)))
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(jnp.float32(0.0)))
-        return (time.perf_counter() - t0) / CHAIN * 1e3
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(jnp.float32(0.0)))
+            best = min(best, (time.perf_counter() - t0) / CHAIN * 1e3)
+        return best
     except Exception:
         return None
 
@@ -211,9 +222,12 @@ def bench_wb_tick(cfg):
             return jax.lax.fori_loop(0, CHAIN, body, x)
 
         jax.block_until_ready(chain(jnp.float32(0.0)))
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(jnp.float32(0.0)))
-        return (time.perf_counter() - t0) / CHAIN * 1e3
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(jnp.float32(0.0)))
+            best = min(best, (time.perf_counter() - t0) / CHAIN * 1e3)
+        return best
     except Exception:
         return None
 
@@ -243,12 +257,15 @@ def bench_gradient(cfg):
 
     jax.block_until_ready(chain(Uw))
     reps = 5
-    t0 = time.perf_counter()
+    best = 1e9
     r = Uw
-    for _ in range(reps):
-        r = chain(r)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / (reps * CHAIN) * 1e3
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = chain(r)
+        jax.block_until_ready(r)
+        best = min(best, (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
+    return best
 
 
 if __name__ == "__main__":
