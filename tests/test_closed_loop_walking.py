@@ -72,3 +72,22 @@ def test_tamols_enters_stepping_stone_field():
                          ref_base_lin_vel=(0.4, 0.0), seed=0)[0]
     assert not res.fell, f"fell after {res.duration}s at {res.distance:.2f} m"
     assert res.distance > 0.55, f"only travelled {res.distance:.2f} m"
+
+
+def test_turning_with_yaw_rate_command():
+    """Yaw-rate commands steer the trot: 0.3 rad/s commanded for 3 s yields most of
+    the expected heading change while walking forward (both solver families, full
+    physics)."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    for mpc_type in ("sampling", "nominal"):
+        cfg = make_config("aliengo", mpc_type=mpc_type,
+                          **{"sim.visual_foothold_adaptation": "blind",
+                             "mpc.sampling.num_samples": 500})
+        res = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
+                             ref_base_lin_vel=(0.2, 0.0), ref_base_ang_vel=0.3,
+                             seed=0)[0]
+        assert not res.fell, mpc_type
+        yaw = res.state_history[-1][8]
+        assert yaw > 0.45, f"{mpc_type}: only {yaw:.2f} rad of 0.9 expected"
