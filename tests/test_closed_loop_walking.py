@@ -91,3 +91,57 @@ def test_turning_with_yaw_rate_command():
         assert not res.fell, mpc_type
         yaw = res.state_history[-1][8]
         assert yaw > 0.45, f"{mpc_type}: only {yaw:.2f} rad of 0.9 expected"
+
+
+def test_lateral_walking_and_low_friction():
+    """Lateral velocity commands and low-friction ground both work closed-loop."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.sampling.num_samples": 500})
+    r = run_simulation(cfg, num_episodes=1, episode_duration_s=2.5,
+                       ref_base_lin_vel=(0.0, 0.2), seed=0)[0]
+    assert not r.fell
+    assert r.state_history[-1][1] > 0.15  # moved sideways
+    r = run_simulation(cfg, num_episodes=1, episode_duration_s=2.5,
+                       ref_base_lin_vel=(0.25, 0.0), friction_range=(0.45, 0.45),
+                       seed=0)[0]
+    assert not r.fell
+    assert r.distance > 0.25
+
+
+def test_push_recovery():
+    """The trot survives a 60 N lateral shove on the trunk for 0.2 s mid-walk."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.interfaces.wrapper import QuadrupedPyMPCWrapper
+    from quadruped_pympc_tamols_tpu.sim.mujoco_env import QuadrupedEnv
+    from quadruped_pympc_tamols_tpu.utils.legs import Legs
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.sampling.num_samples": 500})
+    env = QuadrupedEnv(cfg, scene="flat", seed=0)
+    w = QuadrupedPyMPCWrapper(cfg, env.feet_pos(), seed=0)
+    tau_max = np.asarray(env.model.actuator_ctrlrange[:, 1]).reshape(4, 3)
+    for t in range(1200):
+        env.data.xfrc_applied[1, 1] = 60.0 if 600 <= t < 700 else 0.0
+        tau = w.compute_actions(
+            com_pos=env.com_pos, base_pos=env.base_pos, base_lin_vel=env.base_lin_vel,
+            base_ori_euler_xyz=env.base_ori_euler_xyz, base_ang_vel=env.base_ang_vel,
+            feet_pos=env.feet_pos(), hip_pos=env.hip_positions(),
+            joints_pos=env.joints_pos(), heightmaps=None,
+            ref_base_lin_vel=np.array([0.25, 0, 0]), ref_base_ang_vel=np.zeros(3),
+            simulation_dt=env.sim_dt, qpos_js=env.joints_pos(),
+            qvel_js=env.joints_vel(), feet_jac=env.feet_jacobians(),
+            feet_jac_dot=env.feet_jacobians_dot(), feet_vel=env.feet_vel(),
+            legs_qfrc_bias=env.legs_qfrc_bias(),
+            legs_mass_matrix=env.legs_mass_matrix(),
+            legs_qfrc_passive=env.legs_qfrc_passive())
+        tt = np.asarray(tau.data)
+        qe = np.asarray(w.des_joints_pos.data) - np.asarray(env.joints_pos().data)
+        qde = np.asarray(w.des_joints_vel.data) - np.asarray(env.joints_vel().data)
+        env.step(Legs(np.clip(tt + 10 * qe + 2 * qde, -0.9 * tau_max, 0.9 * tau_max)))
+        assert env.base_pos[2] > 0.5 * cfg.sim.ref_z, f"fell at t={t * 0.002:.2f}s"
+        assert abs(env.base_ori_euler_xyz[0]) < 0.8
