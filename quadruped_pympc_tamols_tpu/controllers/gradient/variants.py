@@ -251,15 +251,23 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     r = np.concatenate([np.full(12, 1e-4, np.float32),  # foot velocity cost
                         r_diag_gradient(cfg.robot.name)])
 
-    def dynamics(x, u, feet_unused, contact, dt):
+    # The per-stage feet array for THIS spec is (4, 4): columns 0:3 are the
+    # reference foothold (box centers), column 3 is the STANCE PROXIMITY flag —
+    # 1 on the last swing stage before a touchdown. Foot velocity is gated by
+    # (1 - stance)(1 - proximity) exactly like the reference model
+    # (centroidal_model_nominal.py:283-286): the optimizer cannot move a foothold
+    # at the last moment, which is physically unrealizable.
+    def dynamics(x, u, feet_aux, contact, dt):
         base, feet12 = x[:12], x[12:]
         v_feet, grf = u[:12], u[12:]
         feet = feet12.reshape(4, 3)
         d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
-        gate = 1.0 - jnp.repeat(contact, 3)  # swing feet move, stance feet pinned
+        prox = feet_aux[:, 3]
+        gate = jnp.repeat((1.0 - contact) * (1.0 - prox), 3)
         return jnp.concatenate([base + dt * d, feet12 + dt * gate * v_feet])
 
-    def stage_ineq(x, u, contact, fz_max, feet_ref):
+    def stage_ineq(x, u, contact, fz_max, feet_aux):
+        feet_ref = feet_aux[:, :3]
         cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min)
         rows = [cone]
         if gp.use_foothold_constraints:
@@ -578,8 +586,17 @@ class VariantGradientMPC:
         # gravity-share reference instead (the reference warm-starts analogously,
         # centroidal_nmpc_nominal.py:1048-1113).
         U_ws = Uref if not np.any(self.U_warm) else self.U_warm
+        feet_solver = np.asarray(feet_traj, np.float32)
+        if self.spec.name == "foothold":
+            # Append the stance-proximity column (1 on the last swing stage before
+            # a touchdown): the spec freezes foot states there, mirroring the
+            # reference's (1-stance)(1-stance_proximity) velocity gate.
+            prox = np.zeros((H, 4), np.float32)
+            for k in range(H - 1):
+                prox[k] = (seq[:, k] == 0) & (seq[:, k + 1] == 1)
+            feet_solver = np.concatenate([feet_solver, prox[:, :, None]], axis=2)
         out = jax.device_get(
-            self.solve(np.asarray(x0, np.float32), np.asarray(feet_traj, np.float32),
+            self.solve(np.asarray(x0, np.float32), feet_solver,
                        seq, Xref, Uref, np.asarray(U_ws, np.float32)))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
@@ -609,6 +626,7 @@ class VariantGradientMPC:
             self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
             status = 0
             predicted = np.asarray(out.predicted_state)
+            self.last_X = np.asarray(out.X)  # optimized rollout, for observability
 
         fh = np.empty((4, 3), np.float32)
         X_opt = np.asarray(out.X) if status == 0 else None

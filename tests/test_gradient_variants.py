@@ -244,3 +244,27 @@ def test_kinodynamic_joints_reach_wb_layer():
     assert iface.nmpc_joints_pos is not None
     assert iface.nmpc_joints_pos.shape[1] == 12
     assert np.all(np.isfinite(iface.nmpc_joints_pos))
+
+
+def test_foothold_stance_proximity_freezes_last_swing_stage():
+    """Foot states must not move on the final swing stage before touchdown (the
+    reference's (1-stance)(1-stance_proximity) velocity gate)."""
+    from quadruped_pympc_tamols_tpu.controllers.gradient import VariantGradientMPC
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"mpc.gradient.use_foothold_optimization": True})
+    mpc = VariantGradientMPC(cfg, "nominal")
+    state, ref = _standing(cfg)
+    state = dict(state)
+    state["linear_velocity"] = np.array([0.5, 0.2, 0.0])
+    seq = np.ones((4, cfg.mpc.horizon))
+    seq[1, :5] = 0.0  # FR touches down at stage 5 -> proximity on stage 4
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    X = mpc.last_X  # (H+1, 24): foot states at columns 12:24
+    fr = X[:, 15:18]  # FR foot state trajectory
+    # Stage 4 is the last swing stage (proximity=1): the foot must NOT move across
+    # the 4 -> 5 transition, while it is free to move earlier in the swing.
+    np.testing.assert_allclose(fr[5], fr[4], atol=1e-6)
+    moved_early = np.linalg.norm(fr[4] - fr[0])
+    assert moved_early > 1e-4  # the optimizer did use the earlier swing stages
