@@ -74,6 +74,10 @@ class RobotParams:
     # reads through Pinocchio, inverse_kinematics_qp.py:33-49).
     joint_limits: Tuple[Tuple[float, float], ...] = (
         (-0.87, 0.87), (-1.0, 3.9), (-2.77, -0.60))
+    # Optional per-robot override of the mass-proportional gain scale used by
+    # make_config (None -> max(1, mass/aliengo_mass)). Empirical: very light robots
+    # chatter at the aliengo gains (mini_cheetah walks at 0.5, falls at 1.0).
+    gain_scale: float | None = None
 
     def inertia_matrix(self) -> np.ndarray:
         return np.asarray(self.inertia, dtype=np.float64)
@@ -134,7 +138,7 @@ ROBOTS: dict[str, RobotParams] = {
                             hip_x=0.44, hip_y=0.112),
     "mini_cheetah": RobotParams("mini_cheetah", 12.5, _GO_INERTIA, hip_height=0.225, l_min=0.12,
                                 l_max=0.40, hip_offset_y=0.062, thigh_length=0.209, calf_length=0.195,
-                                hip_x=0.19, hip_y=0.049),
+                                hip_x=0.19, hip_y=0.049, gain_scale=0.5),
     "spot": RobotParams("spot", 50.34, _ALIENGO_INERTIA, hip_height=0.48, l_min=0.20, l_max=0.60,
                         hip_offset_y=0.11, thigh_length=0.32, calf_length=0.33,
                         hip_x=0.29785, hip_y=0.055),
@@ -397,7 +401,8 @@ def make_config(
     # closed-loop). Floored at 1: lighter robots track fine (better, measured) at
     # the aliengo values. Note max_force_x/y/z are consumed only as x/z, y/z cone
     # RATIOS (invariant under uniform scaling), so they stay at defaults.
-    scale = max(1.0, rp.mass / ROBOTS["aliengo"].mass)
+    scale = rp.gain_scale if rp.gain_scale is not None \
+        else max(1.0, rp.mass / ROBOTS["aliengo"].mass)
     s_rand = SamplingParams().sigma_random
     mpc = MPCParams(type=mpc_type, grf_max=rp.mass * GRAVITY,
                     sampling=SamplingParams(

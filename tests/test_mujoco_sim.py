@@ -130,7 +130,7 @@ def test_fleet_success_rate_randomized():
         assert st.mean_tracking_error < 0.15
 
 
-@pytest.mark.parametrize("robot", ["go2", "b2", "hyqreal2"])
+@pytest.mark.parametrize("robot", ["go2", "b2", "hyqreal2", "mini_cheetah"])
 def test_other_robots_trot_full_physics(robot):
     """Mass-proportional gain/force-limit scaling (make_config) generalizes the
     trot across the robot registry: a 15 kg go2, an 83 kg b2 and a 127 kg hyqreal2
