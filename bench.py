@@ -28,6 +28,17 @@ BASELINE_MS = 2.0
 CHAIN = 50
 
 
+def best_of(thunk, divisor, n=3):
+    """Minimum normalized elapsed time over n runs of thunk() (tunnel-variance
+    resistant; thunk must block until device completion)."""
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, (time.perf_counter() - t0) / divisor * 1e3)
+    return best
+
+
 def main():
     cfg = make_config("aliengo", mpc_type="sampling")
     cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 10000,
@@ -64,19 +75,16 @@ def main():
     st2 = solve_chain(st)
     jax.block_until_ready(st2)
 
-    # Device throughput: K chained solves per jitted call; best-of-3 batches of
-    # reps (the remote-TPU tunnel adds multi-x run-to-run variance; the minimum is
-    # the stable device-time estimate).
+    # Device throughput: K chained solves per jitted call, best-of-3.
     reps = 10
-    per_solve_ms = 1e9
-    s = st
-    for _ in range(3):
-        t0 = time.perf_counter()
+
+    def run_chain():
+        s = st
         for _ in range(reps):
             s = solve_chain(s)
         jax.block_until_ready(s)
-        per_solve_ms = min(per_solve_ms,
-                           (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
+
+    per_solve_ms = best_of(run_chain, reps * CHAIN)
 
     # Single-call sync latency (includes tunnel dispatch overhead).
     sync = []
@@ -149,15 +157,14 @@ def bench_pallas(cfg):
 
         jax.block_until_ready(chain(st))
         reps = 10
-        best = 1e9
-        r = st
-        for _ in range(3):
-            t0 = time.perf_counter()
+
+        def run_chain():
+            r = st
             for _ in range(reps):
                 r = chain(r)
             jax.block_until_ready(r)
-            best = min(best, (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
-        return best
+
+        return best_of(run_chain, reps * CHAIN)
     except Exception:
         return None
 
@@ -188,12 +195,7 @@ def bench_tamols(cfg):
             return jax.lax.fori_loop(0, CHAIN, body, x)
 
         jax.block_until_ready(chain(jnp.float32(0.0)))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain(jnp.float32(0.0)))
-            best = min(best, (time.perf_counter() - t0) / CHAIN * 1e3)
-        return best
+        return best_of(lambda: jax.block_until_ready(chain(jnp.float32(0.0))), CHAIN)
     except Exception:
         return None
 
@@ -222,12 +224,7 @@ def bench_wb_tick(cfg):
             return jax.lax.fori_loop(0, CHAIN, body, x)
 
         jax.block_until_ready(chain(jnp.float32(0.0)))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain(jnp.float32(0.0)))
-            best = min(best, (time.perf_counter() - t0) / CHAIN * 1e3)
-        return best
+        return best_of(lambda: jax.block_until_ready(chain(jnp.float32(0.0))), CHAIN)
     except Exception:
         return None
 
@@ -257,15 +254,14 @@ def bench_gradient(cfg):
 
     jax.block_until_ready(chain(Uw))
     reps = 5
-    best = 1e9
-    r = Uw
-    for _ in range(3):
-        t0 = time.perf_counter()
+
+    def run_chain():
+        r = Uw
         for _ in range(reps):
             r = chain(r)
         jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / (reps * CHAIN) * 1e3)
-    return best
+
+    return best_of(run_chain, reps * CHAIN)
 
 
 if __name__ == "__main__":

@@ -74,9 +74,11 @@ class RobotParams:
     # reads through Pinocchio, inverse_kinematics_qp.py:33-49).
     joint_limits: Tuple[Tuple[float, float], ...] = (
         (-0.87, 0.87), (-1.0, 3.9), (-2.77, -0.60))
-    # Optional per-robot override of the mass-proportional gain scale used by
-    # make_config (None -> max(1, mass/aliengo_mass)). Empirical: very light robots
-    # chatter at the aliengo gains (mini_cheetah walks at 0.5, falls at 1.0).
+    # Optional per-robot override of the mass-proportional scale used by
+    # make_config (None -> max(1, mass/aliengo_mass)). NOTE: the scale applies to
+    # BOTH the swing/impedance gains AND the sampling exploration sigmas (Newtons).
+    # Empirical: very light robots chatter at the aliengo gains (mini_cheetah walks
+    # at 0.5, falls at 1.0).
     gain_scale: float | None = None
 
     def inertia_matrix(self) -> np.ndarray:

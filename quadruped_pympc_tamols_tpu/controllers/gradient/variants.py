@@ -491,6 +491,7 @@ class VariantGradientMPC:
         self.U_warm = np.zeros((H, self.spec.nu), np.float32)
         self.extra_state = np.zeros(self.spec.nx - 12, np.float32)
         self.previous_grfs = np.zeros((4, 3), np.float32)
+        self.last_X = None  # optimized rollout of the LAST SUCCESSFUL solve
 
     def compute_control(self, state, reference, contact_sequence, constraint=None,
                         external_wrenches=None):
@@ -651,3 +652,4 @@ class VariantGradientMPC:
         self.U_warm = np.zeros_like(self.U_warm)
         self.extra_state = np.zeros_like(self.extra_state)
         self.previous_grfs = np.zeros_like(self.previous_grfs)
+        self.last_X = None

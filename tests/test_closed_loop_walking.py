@@ -125,8 +125,11 @@ def test_push_recovery():
     env = QuadrupedEnv(cfg, scene="flat", seed=0)
     w = QuadrupedPyMPCWrapper(cfg, env.feet_pos(), seed=0)
     tau_max = np.asarray(env.model.actuator_ctrlrange[:, 1]).reshape(4, 3)
+    trunk = env.model.body("trunk").id
+    kp = cfg.sim.impedance_joint_position_gain
+    kd = cfg.sim.impedance_joint_velocity_gain
     for t in range(1200):
-        env.data.xfrc_applied[1, 1] = 60.0 if 600 <= t < 700 else 0.0
+        env.data.xfrc_applied[trunk, 1] = 60.0 if 600 <= t < 700 else 0.0
         tau = w.compute_actions(
             com_pos=env.com_pos, base_pos=env.base_pos, base_lin_vel=env.base_lin_vel,
             base_ori_euler_xyz=env.base_ori_euler_xyz, base_ang_vel=env.base_ang_vel,
@@ -142,6 +145,6 @@ def test_push_recovery():
         tt = np.asarray(tau.data)
         qe = np.asarray(w.des_joints_pos.data) - np.asarray(env.joints_pos().data)
         qde = np.asarray(w.des_joints_vel.data) - np.asarray(env.joints_vel().data)
-        env.step(Legs(np.clip(tt + 10 * qe + 2 * qde, -0.9 * tau_max, 0.9 * tau_max)))
+        env.step(Legs(np.clip(tt + kp * qe + kd * qde, -0.9 * tau_max, 0.9 * tau_max)))
         assert env.base_pos[2] > 0.5 * cfg.sim.ref_z, f"fell at t={t * 0.002:.2f}s"
         assert abs(env.base_ori_euler_xyz[0]) < 0.8

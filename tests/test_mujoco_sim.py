@@ -132,9 +132,9 @@ def test_fleet_success_rate_randomized():
 
 @pytest.mark.parametrize("robot", ["go2", "b2", "hyqreal2", "mini_cheetah"])
 def test_other_robots_trot_full_physics(robot):
-    """Mass-proportional gain/force-limit scaling (make_config) generalizes the
-    trot across the robot registry: a 15 kg go2, an 83 kg b2 and a 127 kg hyqreal2
-    all walk with the default sampling controller."""
+    """Per-robot scaling (make_config) generalizes the trot across the registry:
+    go2/b2/hyqreal2 via the mass-proportional rule, mini_cheetah via its explicit
+    gain_scale=0.5 registry override."""
     cfg = make_config(robot, mpc_type="sampling",
                       **{"sim.visual_foothold_adaptation": "blind",
                          "mpc.sampling.num_samples": 1000})
