@@ -155,3 +155,23 @@ def test_variants_trot_full_physics(variant):
                          ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
     assert not res.fell, f"{variant} fell after {res.duration}s"
     assert res.distance > 0.15, f"{variant} travelled {res.distance:.2f} m"
+
+
+def test_crawl_gait_full_physics():
+    """The 3-stance crawl walks with the gradient controller at a gait-appropriate
+    speed (0.5 Hz stepping supports ~0.15 m/s strides)."""
+    cfg = make_config("aliengo", mpc_type="nominal", gait="crawl",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=4.0,
+                         ref_base_lin_vel=(0.15, 0.0), seed=0)[0]
+    assert not res.fell, f"fell after {res.duration}s"
+    assert res.distance > 0.3
+
+
+def test_pace_gait_full_physics():
+    cfg = make_config("aliengo", mpc_type="nominal", gait="pace",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
+                         ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
+    assert not res.fell, f"fell after {res.duration}s"
+    assert res.distance > 0.3
