@@ -8,7 +8,8 @@ from .ocp import (
     r_diag_gradient,
 )
 from .ddp import make_ddp_solver, project_cone
-from .qp import QPSolution, pdip_solve
+from .parallel_riccati import lqr_backward_associative, lqr_backward_sequential
+from .qp import QPSolution, pdip_solve, pdip_solve_mehrotra
 from .sqp import BatchedGradientMPC, GradientMPC, RTISolution, make_rti_solver
 from .variants import (
     VariantGradientMPC,
@@ -32,6 +33,9 @@ __all__ = [
     "r_diag_gradient",
     "QPSolution",
     "pdip_solve",
+    "pdip_solve_mehrotra",
+    "lqr_backward_associative",
+    "lqr_backward_sequential",
     "make_ddp_solver",
     "project_cone",
     "BatchedGradientMPC",
