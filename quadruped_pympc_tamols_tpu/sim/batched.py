@@ -32,6 +32,15 @@ class FleetStats:
 
 def _run_worker(args):
     cfg, n_eps, duration, vel_range, friction_range, seed = args
+    # Host-farm workers run on CPU: N spawned processes must not contend for the
+    # (single) accelerator — observed as a deadlock through a remote-attached TPU.
+    # The device tier for scenario fan-out is parallel/scenario_engine.py instead.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (inline mode) — leave it be
     from .simulation import run_simulation
 
     out = []
@@ -48,7 +57,12 @@ def run_batched_simulations(cfg: Config, num_processes: int = 2,
                             episode_duration_s: float = 2.0,
                             vel_range=(0.1, 0.4), friction_range=(0.6, 1.0),
                             seed: int = 0, inline: bool = False) -> FleetStats:
-    """Randomized-episode success-rate harness (reference batched_simulations.py)."""
+    """Randomized-episode success-rate harness (reference batched_simulations.py).
+
+    NOTE: with num_processes > 1 the workers are SPAWNED — call this from under an
+    ``if __name__ == "__main__":`` guard in scripts (standard multiprocessing
+    semantics) or the re-imported main module will fan out recursively. Workers
+    force the CPU JAX platform (see _run_worker)."""
     jobs = [(cfg, episodes_per_process, episode_duration_s, vel_range, friction_range,
              seed + i * episodes_per_process) for i in range(num_processes)]
     if inline or num_processes == 1:

@@ -191,3 +191,18 @@ def test_rough_terrain_walks(scene, vfa):
                          ref_base_lin_vel=(0.25, 0.0), seed=1)[0]
     assert not res.fell, f"{scene} fell after {res.duration}s"
     assert res.distance > 0.15
+
+
+def test_batched_simulations_multiprocess():
+    """The spawned-worker fan-out path (reference batched_simulations.py's 4-process
+    pattern): workers force the CPU platform and aggregate cleanly."""
+    from quadruped_pympc_tamols_tpu.sim.batched import run_batched_simulations
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.sampling.num_samples": 300})
+    st = run_batched_simulations(cfg, num_processes=2, episodes_per_process=1,
+                                 episode_duration_s=1.0, vel_range=(0.1, 0.3),
+                                 friction_range=(0.7, 1.0), seed=0)
+    assert st.episodes == 2
+    assert st.success_rate == 1.0
