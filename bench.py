@@ -96,7 +96,7 @@ def main():
         sync.append((time.perf_counter() - t0) * 1e3)
     sync = np.asarray(sync)
 
-    rti_ms = bench_gradient(cfg)
+    rti_ms, rti_fb_ms = bench_gradient(cfg)
     pallas_ms = bench_pallas(cfg)
     tamols_ms = bench_tamols(cfg)
     wb_ms = bench_wb_tick(cfg)
@@ -122,6 +122,7 @@ def main():
         "sync_call_p99_ms": round(float(np.percentile(sync, 99)), 3),
         "rti_sqp_solve_ms": round(rti_ms, 4),
         "rti_sqp_vs_5ms_baseline": round(5.0 / rti_ms, 3),
+        "rti_feedback_phase_ms": round(rti_fb_ms, 4),
         "tamols_score_ms": round(tamols_ms, 4) if tamols_ms else None,
         "wb_swing_ik_tick_ms": round(wb_ms, 4) if wb_ms else None,
         "rollout_sample_steps_per_s": round(sample_steps_per_s, 0),
@@ -231,11 +232,13 @@ def bench_wb_tick(cfg):
 
 def bench_gradient(cfg):
     """Gradient RTI-SQP solve time (reference baseline: <5 ms full feedback loop on
-    an i7-13700H, README.md:13)."""
-    from quadruped_pympc_tamols_tpu.controllers.gradient import make_rti_solver
+    an i7-13700H, README.md:13). Returns (full_solve_ms, feedback_phase_ms): the
+    feedback phase is the latency-critical path of the RTI split (gradient refresh
+    at the measured x0 + IP solve, reusing the preparation's linearization)."""
+    from quadruped_pympc_tamols_tpu.controllers.gradient import make_rti_solver_split
 
     gcfg = make_config("aliengo", mpc_type="nominal")
-    solve, dims = make_rti_solver(gcfg)
+    solve, prepare, feedback, dims = make_rti_solver_split(gcfg)
     H = dims.horizon
     x0 = jnp.zeros(12).at[2].set(0.30)
     feet_traj = jnp.tile(jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
@@ -252,7 +255,17 @@ def bench_gradient(cfg):
             return solve(x0, feet_traj, seq, Xref, Uref, U).U
         return jax.lax.fori_loop(0, CHAIN, body, U)
 
+    @jax.jit
+    def fb_chain(prep, x):
+        def body(_, x):
+            out = feedback(prep, x, feet_traj, seq, Xref, Uref)
+            # Data dependency serializes the chained solves.
+            return x0 + 1e-9 * out.U[0, 0]
+        return jax.lax.fori_loop(0, CHAIN, body, x)
+
+    prep = prepare(x0, feet_traj, seq, Xref, Uref, Uref)
     jax.block_until_ready(chain(Uw))
+    jax.block_until_ready(fb_chain(prep, x0))
     reps = 5
 
     def run_chain():
@@ -261,7 +274,13 @@ def bench_gradient(cfg):
             r = chain(r)
         jax.block_until_ready(r)
 
-    return best_of(run_chain, reps * CHAIN)
+    def run_fb_chain():
+        r = x0
+        for _ in range(reps):
+            r = fb_chain(prep, r)
+        jax.block_until_ready(r)
+
+    return best_of(run_chain, reps * CHAIN), best_of(run_fb_chain, reps * CHAIN)
 
 
 if __name__ == "__main__":

@@ -9,8 +9,15 @@ from .ocp import (
 )
 from .ddp import make_ddp_solver, project_cone
 from .parallel_riccati import lqr_backward_associative, lqr_backward_sequential
-from .qp import QPSolution, pdip_solve, pdip_solve_mehrotra
-from .sqp import BatchedGradientMPC, GradientMPC, RTISolution, make_rti_solver
+from .qp import QPSolution, pdip_solve, pdip_solve_mehrotra, soft_qp_solve
+from .sqp import (
+    BatchedGradientMPC,
+    GradientMPC,
+    PrepState,
+    RTISolution,
+    make_rti_solver,
+    make_rti_solver_split,
+)
 from .variants import (
     VariantGradientMPC,
     VariantSpec,
@@ -34,6 +41,7 @@ __all__ = [
     "QPSolution",
     "pdip_solve",
     "pdip_solve_mehrotra",
+    "soft_qp_solve",
     "lqr_backward_associative",
     "lqr_backward_sequential",
     "make_ddp_solver",
@@ -42,6 +50,8 @@ __all__ = [
     "GradientMPC",
     "RTISolution",
     "make_rti_solver",
+    "make_rti_solver_split",
+    "PrepState",
     "VariantGradientMPC",
     "VariantSpec",
     "make_collaborative_spec",

@@ -24,6 +24,7 @@ from ...config import Config
 from ...dynamics.srbd import make_params
 from .ocp import (
     OCPDims,
+    _stage_wrench,
     linearize_dynamics,
     q_diag_gradient,
     r_diag_gradient,
@@ -99,15 +100,16 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
                  wrench, p_dyn):
         def body(carry, inp):
             x, cost = carry
-            ub, xb, kf, Kf, feet, c, dt, xref, uref = inp
+            ub, xb, kf, Kf, feet, c, dt, xref, uref, wk = inp
             u = ub + alpha * kf + Kf @ (x - xb)
             u = project_cone(u, c, mu, grf_min, grf_max)
-            xn = step_fn(x, u, feet, c, p_dyn, dt, integrator, wrench)
+            xn = step_fn(x, u, feet, c, p_dyn, dt, integrator, wk)
             return (xn, cost + _stage_cost(xn, u, xref, uref)), u
 
         (xF, cost), U = jax.lax.scan(
             body, (x0, jnp.float32(0.0)),
-            (Ubar, xbar[:-1], kff, Kfb, feet_traj, contact_seq.T, dts, Xref, Uref))
+            (Ubar, xbar[:-1], kff, Kfb, feet_traj, contact_seq.T, dts, Xref, Uref,
+             wrench))
         return cost, U
 
     v_forward = jax.vmap(_forward,
@@ -118,7 +120,7 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
         # srbd_rt: optional runtime SRBDParams (use_inertia_recomputation), same
         # contract as make_rti_solver's solve.
         p_dyn = srbd if srbd_rt is None else srbd_rt
-        wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
+        wrench = _stage_wrench(ext_wrench, H)  # (H, 6), stage-limited compensation
         # Start from the cone-projected warm start so the first linearization is
         # feasible.
         U = jax.vmap(project_cone, in_axes=(0, 0, None, None, None))(

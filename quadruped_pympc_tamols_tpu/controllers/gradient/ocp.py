@@ -83,29 +83,46 @@ class Linearization(NamedTuple):
     xbar: jnp.ndarray  # (H+1, nx) nominal rollout
 
 
+def _stage_wrench(ext_wrench, H):
+    """Normalize ext_wrench to per-stage (H, 6): the reference compensates the
+    estimated wrench only for the first external_wrenches_compensation_num_step
+    stages (centroidal_nmpc_input_rates.py:1360-1373), so callers may pass a
+    stage-varying (H, 6) array; a plain (6,) wrench broadcasts to every stage."""
+    if ext_wrench is None:
+        return jnp.zeros((H, 6), jnp.float32)
+    ext_wrench = jnp.asarray(ext_wrench)
+    if ext_wrench.ndim == 1:
+        return jnp.broadcast_to(ext_wrench, (H, 6))
+    return ext_wrench
+
+
 def rollout_nominal(x0, U, feet_traj, contact_seq, params, dts, integrator="euler",
                     ext_wrench=None):
     """Forward-simulate the nominal trajectory under the input sequence U (H, nu)."""
+    w = _stage_wrench(ext_wrench, U.shape[0])
+
     def body(x, inp):
-        u, feet, c, dt = inp
-        xn = step_fn(x, u, feet, c, params, dt, integrator, ext_wrench)
+        u, feet, c, dt, wk = inp
+        xn = step_fn(x, u, feet, c, params, dt, integrator, wk)
         return xn, xn
 
-    _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts))
+    _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts, w))
     return jnp.concatenate([x0[None], xs], axis=0)  # (H+1, nx)
 
 
 def linearize_dynamics(xbar, U, feet_traj, contact_seq, params, dts, integrator="euler",
                        ext_wrench=None):
     """Stage Jacobians A_k = dF/dx, B_k = dF/du along the nominal trajectory."""
-    def jac(x, u, feet, c, dt):
+    w = _stage_wrench(ext_wrench, U.shape[0])
+
+    def jac(x, u, feet, c, dt, wk):
         A = jax.jacfwd(lambda xx: step_fn(xx, u, feet, c, params, dt, integrator,
-                                          ext_wrench))(x)
+                                          wk))(x)
         B = jax.jacfwd(lambda uu: step_fn(x, uu, feet, c, params, dt, integrator,
-                                          ext_wrench))(u)
+                                          wk))(u)
         return A, B
 
-    A, B = jax.vmap(jac)(xbar[:-1], U, feet_traj, contact_seq.T, dts)
+    A, B = jax.vmap(jac)(xbar[:-1], U, feet_traj, contact_seq.T, dts, w)
     return Linearization(A, B, xbar)
 
 

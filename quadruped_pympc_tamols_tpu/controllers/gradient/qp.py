@@ -29,7 +29,7 @@ class QPSolution(NamedTuple):
 
 
 def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0.2,
-               z0=None, mu_floor: float = 1e-4, sl_min: float = 1e-6):
+               z0=None, mu_floor: float = 1e-4, sl_min: float = 1e-6, lam0=None):
     """Solve one dense QP. Shapes: Hm (n, n), g (n,), C (m, n), d (m,).
 
     Fixed ``iters`` Newton steps on the perturbed KKT system with fraction-to-boundary
@@ -43,9 +43,11 @@ def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0
     m = d.shape[0]
 
     z = jnp.zeros(n) if z0 is None else z0
-    # Strictly positive initialization.
+    # Strictly positive initialization. lam0 lets callers start rows whose optimal
+    # multiplier is far from 1 (e.g. slack-penalty rows at zl ~ 1e3) on-scale; a
+    # uniform start needs the whole iteration budget just to traverse the scale gap.
     s = jnp.maximum(d - C @ z, 1.0)
-    lam = jnp.ones(m)
+    lam = jnp.ones(m) if lam0 is None else lam0
 
     I = jnp.eye(n) * reg
 
@@ -84,8 +86,52 @@ def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0
     return QPSolution(z, lam, s, gap, primal_res)
 
 
+def soft_qp_solve(Hm, g, C, d, S, zl: float = 1000.0, Zl: float = 1.0,
+                  solver=None, iters: int = 8):
+    """Solve the QP with L1/L2-penalized slacks on the rows selected by S.
+
+    Mirrors acados' soft h-constraints (reference centroidal_nmpc_nominal.py:147-163,
+    zl=1000/Zl=1): rows i with a slack t_j (S[i, j] = 1) relax to C_i z <= d_i + t_j,
+    t_j >= 0, and the objective gains zl*t + 0.5*Zl*t^2 — an infeasible stability or
+    foothold stage then degrades gracefully instead of collapsing the interior point
+    (hard-infeasible QPs have empty feasible sets -> NaN iterates -> the controller's
+    previous-GRF fallback).
+
+    Augmented problem over v = [z; t]:
+        min 0.5 v^T blkdiag(H, Zl I) v + [g; zl 1]^T v
+        s.t. [C  -S] v <= d,   -t <= 0.
+
+    Args:
+        S: (m, ns) static 0/1 selection matrix (numpy; ns slack variables).
+        solver: pdip_solve or pdip_solve_mehrotra (default mehrotra).
+    Returns a QPSolution whose z is the ORIGINAL decision vector (n,).
+    """
+    solver = solver or pdip_solve_mehrotra
+    n = g.shape[0]
+    ns = S.shape[1]
+    H_aug = jnp.zeros((n + ns, n + ns)).at[:n, :n].set(Hm)
+    H_aug = H_aug.at[jnp.arange(n, n + ns), jnp.arange(n, n + ns)].set(Zl)
+    g_aug = jnp.concatenate([g, jnp.full(ns, zl, g.dtype)])
+    C_top = jnp.concatenate([C, -jnp.asarray(S, C.dtype)], axis=1)
+    # The nonnegativity rows are written as -zl * t <= 0: scaling by zl puts their
+    # optimal multipliers at O(1) (stationarity: zl - lam_row - zl * nu = 0 -> nu ~ 1
+    # on inactive soft rows) and lands the barrier stiffness on the t-diagonal of the
+    # Newton matrix, where it harmlessly pins dt = 0. Unscaled (-I) rows need
+    # nu ~ zl, which the w-clamp in the solvers truncates -> underestimated
+    # stiffness -> post-convergence drift (measured: 165 N vs 64 N first-stage fz on
+    # an INACTIVE stability row). mu_floor = 1e-4 makes the convergence freeze
+    # engage at the augmented problem's f32 complementarity plateau.
+    C_bot = jnp.concatenate(
+        [jnp.zeros((ns, n), C.dtype), -zl * jnp.eye(ns, dtype=C.dtype)], axis=1)
+    C_aug = jnp.concatenate([C_top, C_bot], axis=0)
+    d_aug = jnp.concatenate([d, jnp.zeros(ns, d.dtype)])
+    sol = solver(H_aug, g_aug, C_aug, d_aug, iters=iters, mu_floor=1e-4)
+    return QPSolution(sol.z[:n], sol.lam, sol.s, sol.gap, sol.primal_res)
+
+
 def pdip_solve_mehrotra(Hm, g, C, d, iters: int = 8, reg: float = 1e-7,
-                        z0=None, mu_floor: float = 1e-5, sl_min: float = 1e-6):
+                        z0=None, mu_floor: float = 1e-5, sl_min: float = 1e-6,
+                        lam0=None):
     """Mehrotra predictor-corrector variant of :func:`pdip_solve`.
 
     One Cholesky factorization serves BOTH the affine predictor and the corrector
@@ -97,7 +143,7 @@ def pdip_solve_mehrotra(Hm, g, C, d, iters: int = 8, reg: float = 1e-7,
     m = d.shape[0]
     z = jnp.zeros(n) if z0 is None else z0
     s = jnp.maximum(d - C @ z, 1.0)
-    lam = jnp.ones(m)
+    lam = jnp.ones(m) if lam0 is None else lam0  # see pdip_solve on lam0 scaling
     I = jnp.eye(n) * reg
 
     def max_step(v, dv):

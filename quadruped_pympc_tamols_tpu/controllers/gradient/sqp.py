@@ -51,6 +51,32 @@ class RTISolution(NamedTuple):
     qp_primal_res: jnp.ndarray
 
 
+class PrepState(NamedTuple):
+    """Products of the RTI preparation phase (linearize + condense + Hessian),
+    computed at the PREDICTED state before the measurement arrives — the acados
+    rti_phase=1 equivalent (reference srbd_controller_interface.py:242-245)."""
+
+    xbar: jnp.ndarray  # (H+1, nx) nominal rollout at the predicted state
+    Ubar: jnp.ndarray  # (H, nu) inputs the linearization was taken at
+    Fm: jnp.ndarray  # (H, nx, nx) prediction operator for the dx0 term
+    Gt: jnp.ndarray  # (H*nu, H*nx) transposed input-prediction operator
+    Hm: jnp.ndarray  # (H*nu, H*nu) condensed Gauss-Newton Hessian
+
+
+def build_stage_wrench(cfg: Config, external_wrenches, H: int) -> np.ndarray:
+    """Per-stage (H, 6) compensated wrench: the estimate is applied only to the
+    first external_wrenches_compensation_num_step stages — a disturbance estimated
+    NOW need not persist over the whole horizon (reference
+    centroidal_nmpc_input_rates.py:1360-1373 and the collaborative/kinodynamic
+    twins; config.py:159)."""
+    gp = cfg.mpc.gradient
+    if external_wrenches is None or not gp.external_wrenches_compensation:
+        return np.zeros((H, 6), np.float32)
+    w6 = np.asarray(external_wrenches, np.float32).reshape(6)
+    mask = (np.arange(H) < gp.external_wrenches_compensation_num_step)[:, None]
+    return (w6[None, :] * mask).astype(np.float32)
+
+
 def _qp_iters(gp) -> int:
     return {"balance": gp.qp_iters, "robust": gp.qp_iters + 6,
             "speed": gp.qp_iters_speed, "crazy_speed": gp.qp_iters_crazy_speed}[gp.solver_mode]
@@ -72,6 +98,26 @@ def qp_solver_for(gp):
 def make_rti_solver(cfg: Config, integrator: str = "euler"):
     """Build the jitted solve. Returns ``solve(x0, feet_traj, contact_seq, Xref,
     Uref, U_warm) -> RTISolution`` plus the dims."""
+    solve, _, _, dims = make_rti_solver_split(cfg, integrator)
+    return solve, dims
+
+
+def make_rti_solver_split(cfg: Config, integrator: str = "euler"):
+    """Full RTI machinery: ``(solve, prepare, feedback, dims)``.
+
+    * ``solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, wrench, srbd_rt)``
+      — the one-shot SQP/RTI solve (linearize + condense + IP per iteration).
+    * ``prepare(x_pred, feet_traj, contact_seq, Xref, Uref, U_warm, wrench,
+      srbd_rt) -> PrepState`` — acados rti_phase=1: linearize + condense + build
+      the Hessian at the PREDICTED state (plus the AS-RTI extra iterations,
+      arXiv:2403.07101); dispatched asynchronously, it overlaps the plant step.
+    * ``feedback(prep, x0, feet_traj, contact_seq, Xref, Uref, wrench, srbd_rt)``
+      — acados rti_phase=2: refresh the gradient with the MEASURED x0 (the dx0
+      term rides the prediction operator F, so the stale linearization is exact
+      to first order) + fresh contact bounds, then one IP solve. This is the
+      latency-critical path: it skips the 24 jacfwds, the condensing and the
+      Hessian build (reference centroidal_nmpc_nominal.py:1442-1452).
+    """
     dims = OCPDims(horizon=cfg.mpc.horizon)
     H, nx, nu = dims.horizon, dims.nx, dims.nu
     gp = cfg.mpc.gradient
@@ -107,23 +153,30 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
         eu = U - Uref
         return jnp.sum(ex * ex * q_diag) + jnp.sum(eu * eu * r_diag)
 
-    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, d_big, wrench, p):
-        xbar = rollout_nominal(x0, Ubar, feet_traj, contact_seq, p, dts, integrator,
-                               wrench)
+    Qw = jnp.tile(jnp.asarray(q_diag), (H,))
+    Rw = jnp.tile(jnp.asarray(r_diag), (H,))
+
+    def _linearize_condense(x_lin, Ubar, feet_traj, contact_seq, wrench, p):
+        """Preparation-phase work: rollout + Jacobians + condensing + Hessian."""
+        xbar = rollout_nominal(x_lin, Ubar, feet_traj, contact_seq, p, dts,
+                               integrator, wrench)
         lin = linearize_dynamics(xbar, Ubar, feet_traj, contact_seq, p, dts,
                                  integrator, wrench)
         Fm, Gm = condense(lin, dims)
-        # dx0 = 0: the rollout starts at the measured state.
-        e = xbar[1:] - Xref  # (H, nx)
         Gt = Gm.transpose(1, 3, 0, 2).reshape(H * nu, H * nx)
-        Qw = jnp.tile(q_diag, (H,))
-        Rw = jnp.tile(r_diag, (H,))
-        g = Gt @ (Qw * e.reshape(-1)) + Rw * (Ubar - Uref).reshape(-1)
         Hm = (Gt * Qw[None, :]) @ Gt.T + jnp.diag(Rw) + lm * jnp.eye(H * nu)
-        d_shift = d_big - C_big @ Ubar.reshape(-1)
-        sol = qp_fn(Hm, g, C_big, d_shift, iters=iters)
-        U = Ubar + sol.z.reshape(H, nu)
-        return U, sol
+        return PrepState(xbar, Ubar, Fm, Gt, Hm)
+
+    def _feedback_step(prep: PrepState, x0, contact_seq, Xref, Uref):
+        """Feedback-phase work: gradient refresh at the measured x0 + IP solve.
+        The measurement enters through dx0 = x0 - xbar[0] riding the prediction
+        operator F (the initial-state 'constraint' of the condensed QP)."""
+        dx0 = x0 - prep.xbar[0]
+        e = prep.xbar[1:] + jnp.einsum("kij,j->ki", prep.Fm, dx0) - Xref  # (H, nx)
+        g = prep.Gt @ (Qw * e.reshape(-1)) + Rw * (prep.Ubar - Uref).reshape(-1)
+        d_shift = _stage_d(contact_seq) - C_big @ prep.Ubar.reshape(-1)
+        sol = qp_fn(prep.Hm, g, C_big, d_shift, iters=iters)
+        return prep.Ubar + sol.z.reshape(H, nu), sol
 
     def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None,
               srbd_rt=None):
@@ -132,18 +185,40 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
         # centroidal_nmpc_nominal.py:1297-1330). None compiles the static params in.
         p = srbd if srbd_rt is None else srbd_rt
         wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
-        d_big = _stage_d(contact_seq)
         U = U_warm
         for _ in range(sqp_iters):  # static small loop
-            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, d_big,
-                              wrench, p)
+            prep = _linearize_condense(x0, U, feet_traj, contact_seq, wrench, p)
+            U, sol = _feedback_step(prep, x0, contact_seq, Xref, Uref)
         cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench, p)
         xs = rollout_nominal(x0, U, feet_traj, contact_seq, p, dts, integrator,
                              wrench)
         grfs = U[0].reshape(4, 3)
         return RTISolution(U, grfs, xs[1], cost, sol.gap, sol.primal_res)
 
-    return jax.jit(solve), dims
+    def prepare(x_pred, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None,
+                srbd_rt=None):
+        p = srbd if srbd_rt is None else srbd_rt
+        wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
+        U = U_warm
+        # AS-RTI-A..D: extra approximate iterations belong to the preparation
+        # phase (they refine the linearization point, arXiv:2403.07101).
+        for _ in range(max(0, sqp_iters - 1)):
+            prep = _linearize_condense(x_pred, U, feet_traj, contact_seq, wrench, p)
+            U, _ = _feedback_step(prep, x_pred, contact_seq, Xref, Uref)
+        return _linearize_condense(x_pred, U, feet_traj, contact_seq, wrench, p)
+
+    def feedback(prep: PrepState, x0, feet_traj, contact_seq, Xref, Uref,
+                 ext_wrench=None, srbd_rt=None):
+        p = srbd if srbd_rt is None else srbd_rt
+        wrench = jnp.zeros(6) if ext_wrench is None else ext_wrench
+        U, sol = _feedback_step(prep, x0, contact_seq, Xref, Uref)
+        cost = _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench, p)
+        xs = rollout_nominal(x0, U, feet_traj, contact_seq, p, dts, integrator,
+                             wrench)
+        return RTISolution(U, U[0].reshape(4, 3), xs[1], cost, sol.gap,
+                           sol.primal_res)
+
+    return jax.jit(solve), jax.jit(prepare), jax.jit(feedback), dims
 
 
 class GradientMPC:
@@ -157,21 +232,28 @@ class GradientMPC:
 
     def __init__(self, cfg: Config, integrator: str = "euler"):
         self.cfg = cfg
+        self.prepare = self.feedback = None
         if cfg.mpc.gradient.use_DDP:
             # DDP nlp-solver option (reference config.py use_DDP): Riccati backward
             # pass + projected forward rollout instead of the condensed IP QP.
             from .ddp import make_ddp_solver
             self.solve, self.dims = make_ddp_solver(cfg, integrator)
         else:
-            self.solve, self.dims = make_rti_solver(cfg, integrator)
+            self.solve, self.prepare, self.feedback, self.dims = \
+                make_rti_solver_split(cfg, integrator)
         H = self.dims.horizon
         self.U_warm = np.zeros((H, 12), np.float32)
         self.previous_grfs = np.zeros((4, 3), np.float32)
         self.integral = np.zeros(6, np.float32)
         self._prev_ok = False
+        # RTI split state: _prep holds the device-side PrepState dispatched by
+        # compute_rti_prepare (never blocked on); _last holds the tick inputs the
+        # preparation linearizes against.
+        self._prep = None
+        self._last = None
 
     # -- reference assembly -------------------------------------------------
-    def _build_refs(self, state, reference, contact_seq):
+    def _build_refs(self, state, reference, contact_seq, commit_integral=True):
         cfg = self.cfg
         H = self.dims.horizon
         xref1 = np.concatenate([
@@ -184,6 +266,9 @@ class GradientMPC:
             # Integral action with the reference's alpha and caps
             # (config.py:111-113): accumulate tracking error on
             # (z, vx, vy, vz, roll, pitch) and bias the reference.
+            # commit_integral=False leaves the stored integral untouched — the
+            # batched gait optimizer evaluates K candidates per tick and must not
+            # accumulate K times (the integral advances once, in compute_control).
             x_now = np.concatenate([
                 np.asarray(state["position"]).reshape(3),
                 np.asarray(state["linear_velocity"]).reshape(3),
@@ -193,9 +278,11 @@ class GradientMPC:
             sel = np.array([2, 3, 4, 5, 6, 7])
             alpha = cfg.mpc.gradient.alpha_integrator
             cap = np.asarray(cfg.mpc.gradient.integrator_cap)
-            self.integral = np.clip(self.integral + err[sel] * alpha, -cap, cap)
+            integral = np.clip(self.integral + err[sel] * alpha, -cap, cap)
+            if commit_integral:
+                self.integral = integral
             xref1 = xref1.copy()
-            xref1[sel] -= self.integral
+            xref1[sel] -= integral
 
         Xref = np.tile(xref1, (H, 1))
         # Gravity-share z-force reference per stage (reference :1195-1210).
@@ -229,10 +316,7 @@ class GradientMPC:
         seq = np.asarray(contact_sequence, np.float32)[:, : self.dims.horizon]
         x0, feet_traj = self._build_inputs(state, reference, seq)
         Xref, Uref = self._build_refs(state, reference, seq)
-        wrench = np.zeros(6, np.float32) if (
-            external_wrenches is None
-            or not self.cfg.mpc.gradient.external_wrenches_compensation) \
-            else np.asarray(external_wrenches, np.float32).reshape(6)
+        wrench = build_stage_wrench(self.cfg, external_wrenches, self.dims.horizon)
         # Fresh warm starts seed from the gravity-share reference: at f = 0 the SRB
         # torque balance has zero force/foothold sensitivity, which starves the first
         # Gauss-Newton step (the reference warm-starts analogously, :1048-1113).
@@ -252,8 +336,16 @@ class GradientMPC:
                 gravity=base.gravity)
         # One batched fetch for the whole solution (per-field np.asarray would pay
         # one device round trip each on a remote-attached TPU).
-        out = jax.device_get(self.solve(x0, feet_traj, seq, Xref, Uref, U_ws, wrench,
-                                        srbd_rt))
+        if self._prep is not None:
+            # RTI feedback phase: reuse the preparation's linearization; the
+            # measured x0 and the FRESH contact bounds/references enter here
+            # (acados rti_phase=2, reference centroidal_nmpc_nominal.py:1442-1452).
+            out = jax.device_get(self.feedback(self._prep, x0, feet_traj, seq,
+                                               Xref, Uref, wrench, srbd_rt))
+            self._prep = None
+        else:
+            out = jax.device_get(self.solve(x0, feet_traj, seq, Xref, Uref, U_ws,
+                                            wrench, srbd_rt))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             # Failure fallback (reference :1654-1685): previous GRFs, reset warm start.
@@ -261,6 +353,7 @@ class GradientMPC:
             self.U_warm[:] = 0.0
             status = 1
             predicted = x0
+            self._last = None  # never prepare against a failed iterate
         else:
             grfs = np.asarray(out.grfs) * seq[:, 0:1]
             self.previous_grfs = grfs.copy()
@@ -268,6 +361,8 @@ class GradientMPC:
             self.U_warm = np.concatenate([U[1:], U[-1:]], axis=0)
             status = 0
             predicted = np.asarray(out.predicted_state)
+            self._last = (feet_traj, seq, Xref, Uref, wrench, srbd_rt,
+                          predicted.astype(np.float32))
 
         # First touch-down foothold per leg (the position feet hold after their first
         # in-horizon touch-down; equals current position if no touch-down occurs).
@@ -282,15 +377,27 @@ class GradientMPC:
         return grfs, fh, predicted, status, float(out.cost)
 
     def compute_rti_prepare(self, *args, **kwargs):
-        """RTI preparation: with the solver fully fused and <ms-scale, preparation is
-        the warm-start shift (already done post-solve); kept for API parity."""
-        return None
+        """RTI preparation phase (acados rti_phase=1, reference
+        srbd_controller_interface.py:242-245): linearize + condense + build the
+        Hessian at the PREDICTED next state, using the just-shifted warm start.
+        The jitted call is dispatched asynchronously (JAX returns device futures)
+        so it overlaps the plant step / whole-body control; the next
+        compute_control consumes it in the cheap feedback phase."""
+        if self.prepare is None or not self.cfg.mpc.gradient.use_RTI \
+                or self._last is None:
+            return None
+        feet_traj, seq, Xref, Uref, wrench, srbd_rt, predicted = self._last
+        self._prep = self.prepare(predicted, feet_traj, seq, Xref, Uref,
+                                  self.U_warm, wrench, srbd_rt)  # not blocked on
+        return self._prep
 
     def reset(self):
         # Rebind (never zero in place): returned arrays may alias these.
         self.U_warm = np.zeros_like(self.U_warm)
         self.integral = np.zeros_like(self.integral)
         self.previous_grfs = np.zeros_like(self.previous_grfs)
+        self._prep = None
+        self._last = None
 
 
 class BatchedGradientMPC:
@@ -313,7 +420,10 @@ class BatchedGradientMPC:
         feet, xrefs, urefs = [], [], []
         for k in range(K):
             x0, ft = self.inner._build_inputs(state, reference, seqs[k])
-            Xref, Uref = self.inner._build_refs(state, reference, seqs[k])
+            # commit_integral=False: candidate evaluation must be side-effect-free
+            # on the integral state (otherwise it accumulates K x per tick).
+            Xref, Uref = self.inner._build_refs(state, reference, seqs[k],
+                                                commit_integral=False)
             feet.append(ft); xrefs.append(Xref); urefs.append(Uref)
         out = self.vsolve(x0, jnp.stack(feet), jnp.asarray(seqs), xrefs[0],
                           jnp.stack(urefs), jnp.asarray(self.inner.U_warm))

@@ -43,9 +43,11 @@ class VariantSpec:
     name: str
     nx: int  # augmented state dimension (first 12 = base state)
     nu: int
-    # dynamics(x_aug, u, feet, contact, dt) -> x_aug_next (discrete)
+    # dynamics(x_aug, u, feet, contact, dt, wrench6) -> x_aug_next (discrete);
+    # wrench6 is the per-stage external [force, torque] estimate (world frame)
     dynamics: Callable
-    # stage_ineq(x_aug, u, contact, fz_max, feet) -> residual c <= 0 (fixed length)
+    # stage_ineq(x_aug, u, contact, fz_max, feet, k) -> residual c <= 0 (fixed
+    # length); k is the stage index (for stage-dependent bounds)
     stage_ineq: Callable
     n_ineq: int
     q_diag: np.ndarray  # (nx,)
@@ -56,6 +58,20 @@ class VariantSpec:
     # (O(100 N)); rate-scale inputs (O(1000 N/s)) need it shrunk or it acts as a
     # dominant hidden smoothness penalty.
     lm_scale: float = 1.0
+    # Per-stage soft-constraint mask (n_ineq,): True rows get L1/L2 slack penalties
+    # (acados zl/Zl soft h-constraints, centroidal_nmpc_nominal.py:147-163). None =
+    # all rows hard.
+    soft_mask: np.ndarray | None = None
+
+
+def _add_wrench(d, x, wk, srbd):
+    """Add a world-frame external [force, torque] to the SRB state derivative
+    (reference centroidal_model_nominal.py external-wrench params)."""
+    from ...utils.frames import world_to_body_rot
+
+    d = d.at[3:6].add(wk[:3] / srbd.mass)
+    tau_b = world_to_body_rot(x[6:9]) @ wk[3:]
+    return d.at[9:12].add(jnp.asarray(srbd.inertia_inv) @ tau_b)
 
 
 def _cone_residual(f12, contact, fz_max, mu, grf_min):
@@ -84,12 +100,12 @@ def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     # forces respond too slowly to stand on (observed closed-loop sinking at 1e-4).
     r = np.full(12, 1e-5, dtype=np.float32)
 
-    def dynamics(x, u, feet, contact, dt):
+    def dynamics(x, u, feet, contact, dt, wk):
         base, f = x[:12], x[12:]
-        base_n = base + dt * fd(base, feet, f.reshape(4, 3), contact, srbd)
-        return jnp.concatenate([base_n, f + dt * u])
+        d = _add_wrench(fd(base, feet, f.reshape(4, 3), contact, srbd), base, wk, srbd)
+        return jnp.concatenate([base + dt * d, f + dt * u])
 
-    def stage_ineq(x, u, contact, fz_max, feet):
+    def stage_ineq(x, u, contact, fz_max, feet, k):
         return _cone_residual(x[12:], contact, fz_max, mu, grf_min)
 
     return VariantSpec("input_rates", 24, 12, dynamics, stage_ineq, 24, q, r,
@@ -107,22 +123,30 @@ def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
     Kx, Ky, _ = arm_stiffness
     K_yaw = 5.0
+    # passive_arm_compensation (config.py:163, reference
+    # centroidal_model_collaborative.py:266-271): True = the PREDICTED arm-wrench
+    # state enters the dynamics; False = the static estimate (the stage wrench
+    # parameter) enters instead. The arm state evolves either way.
+    passive_arm = cfg.mpc.gradient.passive_arm_compensation
     q = np.concatenate([q_diag_gradient(), np.zeros(6, np.float32)])
     r = r_diag_gradient(cfg.robot.name)
 
-    def dynamics(x, u, feet, contact, dt):
+    def dynamics(x, u, feet, contact, dt, wk):
         base, w_arm = x[:12], x[12:]
         d = fd(base, feet, u.reshape(4, 3), contact, srbd)
-        # Wrench enters the balance: linear part scaled by mass, angular via inertia.
-        dv = w_arm[:3] / srbd.mass
-        dw = jnp.asarray(srbd.inertia_inv) @ w_arm[3:]
-        d = d.at[3:6].add(dv).at[9:12].add(dw)
+        if passive_arm:
+            # Predicted wrench state: linear part scaled by mass, angular via inertia.
+            dv = w_arm[:3] / srbd.mass
+            dw = jnp.asarray(srbd.inertia_inv) @ w_arm[3:]
+            d = d.at[3:6].add(dv).at[9:12].add(dw)
+        else:
+            d = _add_wrench(d, base, wk, srbd)
         w_dot = jnp.asarray(
             [-Kx * base[3], -Ky * base[4], 0.0, 0.0, 0.0, 0.0], jnp.float32
         ).at[5].set(-K_yaw * base[11])
         return jnp.concatenate([base + dt * d, w_arm + dt * w_dot])
 
-    def stage_ineq(x, u, contact, fz_max, feet):
+    def stage_ineq(x, u, contact, fz_max, feet, k):
         return _cone_residual(u, contact, fz_max, mu, grf_min)
 
     return VariantSpec("collaborative", 18, 12, dynamics, stage_ineq, 24, q, r,
@@ -145,7 +169,9 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         # (model :216-237): F* = m(-(K1+K2) z2 + K1^2 z1 - g) - phi
         return srbd.mass * (-(K1 + K2) * z2 + K1 * K1 * z1 - g_vec) - phi
 
-    def dynamics(x, u, feet, contact, dt):
+    use_decay = cfg.mpc.gradient.use_residual_dynamics_decay
+
+    def dynamics(x, u, feet, contact, dt, wk):
         base, z1, z2, phi = x[:12], x[12:15], x[15:18], x[18:21]
         f = u.reshape(4, 3)
         F_star = _f_star(z1, z2, phi)
@@ -155,6 +181,7 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         d = fd(base, feet, f_final, jnp.ones(4), srbd)
         # linear_com_acc also subtracts phi (model :262).
         d = d.at[3:6].add(-phi)
+        d = _add_wrench(d, base, wk, srbd)
         F_delta = jnp.sum(f * contact[:, None], axis=0)
         z1_dot = -K1 * z1 + z2
         z2_dot = -K2 * z2 + (F_delta + F_star) / srbd.mass + g_vec + phi
@@ -162,16 +189,19 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return jnp.concatenate([base + dt * d, z1 + dt * z1_dot, z2 + dt * z2_dot,
                                 phi + dt * phi_dot])
 
-    def stage_ineq(x, u, contact, fz_max, feet):
+    def stage_ineq(x, u, contact, fz_max, feet, k):
         cone = _cone_residual(u, contact, fz_max, mu, grf_min)
         z1, z2 = x[12:15], x[15:18]
         F_delta = jnp.sum(u.reshape(4, 3) * contact[:, None], axis=0)
         # V_dot <= 0 (controller :299-328).
         v_dot = (-z1 @ (K1 * z1) - z2 @ (K2 * z2) + z1 @ z2
                  + z2 @ F_delta / srbd.mass)
-        # eta^T eta <= ub with eta = (rpy, omega) (controller :331-341).
+        # eta^T eta <= ub with eta = (rpy, omega) (controller :331-341). With
+        # use_residual_dynamics_decay the bound tightens 1/(k+1) along the horizon
+        # (reference centroidal_nmpc_lyapunov.py:667-687).
+        ub_k = ub_res / (k + 1.0) if use_decay else ub_res
         eta = x[6:12]
-        res = eta @ eta - ub_res
+        res = eta @ eta - ub_k
         return jnp.concatenate([cone, v_dot[None], res[None]])
 
     return VariantSpec("lyapunov", 21, 12, dynamics, stage_ineq, 26, q, r,
@@ -202,14 +232,15 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         p_hip = kin.fk(q12.reshape(4, 3), side)  # (4,3) hip frame (vmap-free broadcast)
         return base_pos + (hip_off + p_hip) @ R.T
 
-    def dynamics(x, u, feet_unused, contact, dt):
+    def dynamics(x, u, feet_unused, contact, dt, wk):
         base, q12 = x[:12], x[12:]
         qd, grf = u[:12], u[12:]
         feet = feet_world(base[0:3], base[6:9], q12)
         d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
+        d = _add_wrench(d, base, wk, srbd)
         return jnp.concatenate([base + dt * d, q12 + dt * qd])
 
-    def stage_ineq(x, u, contact, fz_max, feet_unused):
+    def stage_ineq(x, u, contact, fz_max, feet_unused, k):
         qd, grf = u[:12], u[12:]
         cone = _cone_residual(grf, contact, fz_max, mu, grf_min)
         # Stance-foot world velocity ~ 0: v = d(feet)/dt along the trajectory.
@@ -257,16 +288,17 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     # (1 - stance)(1 - proximity) exactly like the reference model
     # (centroidal_model_nominal.py:283-286): the optimizer cannot move a foothold
     # at the last moment, which is physically unrealizable.
-    def dynamics(x, u, feet_aux, contact, dt):
+    def dynamics(x, u, feet_aux, contact, dt, wk):
         base, feet12 = x[:12], x[12:]
         v_feet, grf = u[:12], u[12:]
         feet = feet12.reshape(4, 3)
         d = fd(base, feet, grf.reshape(4, 3), contact, srbd)
+        d = _add_wrench(d, base, wk, srbd)
         prox = feet_aux[:, 3]
         gate = jnp.repeat((1.0 - contact) * (1.0 - prox), 3)
         return jnp.concatenate([base + dt * d, feet12 + dt * gate * v_feet])
 
-    def stage_ineq(x, u, contact, fz_max, feet_aux):
+    def stage_ineq(x, u, contact, fz_max, feet_aux, k):
         feet_ref = feet_aux[:, :3]
         cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min)
         rows = [cone]
@@ -283,8 +315,13 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return jnp.concatenate(rows)
 
     n_ineq = 24 + (16 if gp.use_foothold_constraints else 0) + (1 if use_stab else 0)
+    # Foothold-box and stability rows are SOFT (acados slacks them with zl/Zl =
+    # 1000/1, centroidal_nmpc_nominal.py:147-163); friction cones stay hard.
+    soft = np.zeros(n_ineq, bool)
+    soft[24:] = True
     return VariantSpec("foothold", 24, 24, dynamics, stage_ineq, n_ineq, q, r,
-                       grfs_of=lambda u, x: u[12:])
+                       grfs_of=lambda u, x: u[12:],
+                       soft_mask=soft if n_ineq > 24 else None)
 
 
 def make_support_residual(cfg: Config, srbd: SRBDParams):
@@ -344,19 +381,25 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     use_stab = gp.use_static_stability or gp.use_zmp_stability
     support_residual = make_support_residual(cfg, srbd)
 
-    def dynamics(x, u, feet, contact, dt):
-        return x + dt * fd(x, feet, u.reshape(4, 3), contact, srbd)
+    def dynamics(x, u, feet, contact, dt, wk):
+        d = fd(x, feet, u.reshape(4, 3), contact, srbd)
+        return x + dt * _add_wrench(d, x, wk, srbd)
 
-    def stage_ineq(x, u, contact, fz_max, feet):
+    def stage_ineq(x, u, contact, fz_max, feet, k):
         cone = _cone_residual(u, contact, fz_max, mu, grf_min)
         if not use_stab:
             return cone
         return jnp.concatenate([cone, support_residual(x, u, contact, feet)[None]])
 
     n_ineq = 25 if use_stab else 24
+    # The stability row is SOFT (acados slacks it, centroidal_nmpc_nominal.py:147-163).
+    soft = None
+    if use_stab:
+        soft = np.zeros(n_ineq, bool)
+        soft[24] = True
     return VariantSpec("nominal", 12, 12, dynamics, stage_ineq, n_ineq,
                        q_diag_gradient(), r_diag_gradient(cfg.robot.name),
-                       grfs_of=lambda u, x: u)
+                       grfs_of=lambda u, x: u, soft_mask=soft)
 
 
 # ---------------------------------------------------------------------------
@@ -378,28 +421,38 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
     nx, nu, m = spec.nx, spec.nu, spec.n_ineq
     dts = cfg.mpc.dts()
     gp = cfg.mpc.gradient
+    from .ocp import _stage_wrench
+    from .qp import soft_qp_solve
     from .sqp import qp_solver_for
     qp_fn, iters = qp_solver_for(gp)
     lm = gp.levenberg_marquardt * spec.lm_scale
     sqp_iters = 1 if gp.use_RTI else max(1, gp.num_qp_iterations)
     grf_max = cfg.mpc.grf_max
+    stage_idx = np.arange(H, dtype=np.float32)
+    # Soft rows: one slack per soft row per stage, block-diagonal selection.
+    use_soft = spec.soft_mask is not None and bool(np.any(spec.soft_mask))
+    if use_soft:
+        ns_local = int(np.sum(spec.soft_mask))
+        S_single = np.zeros((m, ns_local), np.float32)
+        S_single[np.where(spec.soft_mask)[0], np.arange(ns_local)] = 1.0
+        S_big = np.kron(np.eye(H, dtype=np.float32), S_single)  # (H*m, H*ns_local)
 
-    def _rollout(x0, U, feet_traj, contact_seq):
+    def _rollout(x0, U, feet_traj, contact_seq, w):
         def body(x, inp):
-            u, feet, c, dt = inp
-            xn = spec.dynamics(x, u, feet, c, dt)
+            u, feet, c, dt, wk = inp
+            xn = spec.dynamics(x, u, feet, c, dt, wk)
             return xn, xn
-        _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts))
+        _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts, w))
         return jnp.concatenate([x0[None], xs], axis=0)
 
-    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref):
-        xbar = _rollout(x0, Ubar, feet_traj, contact_seq)
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w):
+        xbar = _rollout(x0, Ubar, feet_traj, contact_seq, w)
 
-        def jac(x, u, feet, c, dt):
-            A = jax.jacfwd(lambda xx: spec.dynamics(xx, u, feet, c, dt))(x)
-            B = jax.jacfwd(lambda uu: spec.dynamics(x, uu, feet, c, dt))(u)
+        def jac(x, u, feet, c, dt, wk):
+            A = jax.jacfwd(lambda xx: spec.dynamics(xx, u, feet, c, dt, wk))(x)
+            B = jax.jacfwd(lambda uu: spec.dynamics(x, uu, feet, c, dt, wk))(u)
             return A, B
-        A, B = jax.vmap(jac)(xbar[:-1], Ubar, feet_traj, contact_seq.T, dts)
+        A, B = jax.vmap(jac)(xbar[:-1], Ubar, feet_traj, contact_seq.T, dts, w)
 
         # Condense: x_{k+1} deviation = (G dU)_k rows (dx0 = 0).
         G = [[None] * H for _ in range(H)]
@@ -423,13 +476,13 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
         # the prediction operator (x_k row k-1 of G), k=0 rows act on u only.
         fz_max = grf_max * contact_seq.T + 1e-3  # (H, 4)
 
-        def lin_con(x, u, c, fzm, feet):
-            cval = spec.stage_ineq(x, u, c, fzm, feet)
-            Cx = jax.jacfwd(lambda xx: spec.stage_ineq(xx, u, c, fzm, feet))(x)
-            Cu = jax.jacfwd(lambda uu: spec.stage_ineq(x, uu, c, fzm, feet))(u)
+        def lin_con(x, u, c, fzm, feet, k):
+            cval = spec.stage_ineq(x, u, c, fzm, feet, k)
+            Cx = jax.jacfwd(lambda xx: spec.stage_ineq(xx, u, c, fzm, feet, k))(x)
+            Cu = jax.jacfwd(lambda uu: spec.stage_ineq(x, uu, c, fzm, feet, k))(u)
             return cval, Cx, Cu
         cval, Cx, Cu = jax.vmap(lin_con)(xbar[:-1], Ubar, contact_seq.T, fz_max,
-                                         feet_traj)
+                                         feet_traj, stage_idx)
 
         # Build C_big (H*m, H*nu): block-diag Cu + Cx_k @ G[k-1] rows for k >= 1.
         Cb = jnp.zeros((H * m, H * nu))
@@ -440,14 +493,18 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
                 Cb = Cb.at[k * m:(k + 1) * m, :].add(row)
         d = (-cval).reshape(-1)
 
-        sol = qp_fn(Hm, g, Cb, d, iters=iters)
+        if use_soft:
+            sol = soft_qp_solve(Hm, g, Cb, d, S_big, solver=qp_fn, iters=iters)
+        else:
+            sol = qp_fn(Hm, g, Cb, d, iters=iters)
         return Ubar + sol.z.reshape(H, nu), sol
 
-    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
+    def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, wrench_stages=None):
+        w = _stage_wrench(wrench_stages, H)
         U = U_warm
         for _ in range(sqp_iters):
-            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref)
-        X = _rollout(x0, U, feet_traj, contact_seq)
+            U, sol = _gn_step(x0, U, feet_traj, contact_seq, Xref, Uref, w)
+        X = _rollout(x0, U, feet_traj, contact_seq, w)
         ex = X[1:] - Xref
         eu = U - Uref
         cost = jnp.sum(ex * ex * jnp.asarray(spec.q_diag)) + \
@@ -596,9 +653,11 @@ class VariantGradientMPC:
             for k in range(H - 1):
                 prox[k] = (seq[:, k] == 0) & (seq[:, k + 1] == 1)
             feet_solver = np.concatenate([feet_solver, prox[:, :, None]], axis=2)
+        from .sqp import build_stage_wrench
+        wrench = build_stage_wrench(cfg, external_wrenches, H)
         out = jax.device_get(
             self.solve(np.asarray(x0, np.float32), feet_solver,
-                       seq, Xref, Uref, np.asarray(U_ws, np.float32)))
+                       seq, Xref, Uref, np.asarray(U_ws, np.float32), wrench))
         U = np.asarray(out.U)
         if not np.all(np.isfinite(U)):
             grfs, status, predicted = self.previous_grfs, 1, x_base

@@ -72,6 +72,11 @@ class QuadrupedPyMPCWrapper:
                 phase_signal=self.wb_interface.pgg.phase_signal,
                 optimize_swing=optimize_swing)
 
+            # RTI preparation phase for the NEXT tick, dispatched without blocking
+            # so it overlaps the plant step (reference quadruped_pympc_wrapper.py
+            # :153-156 + srbd_controller_interface.py:242-245).
+            self.srbd_controller_interface.compute_rti()
+
             if self.srbd_batched_controller_interface is not None and optimize_swing:
                 self.best_sample_freq = self.srbd_batched_controller_interface.optimize_gait(
                     state_current, ref_state, self.wb_interface.pgg.phase_signal,
