@@ -12,6 +12,7 @@ Prints ONE JSON line:
 {"metric": ..., "value": per_solve_ms, "unit": "ms", "vs_baseline": 2.0/value, ...}.
 """
 import json
+import sys
 import time
 
 import jax
@@ -283,5 +284,24 @@ def bench_gradient(cfg):
     return best_of(run_chain, reps * CHAIN), best_of(run_fb_chain, reps * CHAIN)
 
 
+def scaling_main():
+    """`python bench.py --scaling`: multi-host weak-scaling efficiency table.
+
+    Forks real jax.distributed process groups on local CPU (the only multi-host
+    stand-in available here — the bench box has one TPU chip) and reports fleet
+    throughput + parallel efficiency per mesh shape (BASELINE.md: scaling measured
+    at 1 chip / 1 host / N>=2 hosts)."""
+    from quadruped_pympc_tamols_tpu.parallel.multihost import scaling_table
+
+    # Production-shaped per-host work (4 scenarios x 512 rollouts per step) so the
+    # one cross-host psum per step is amortized the way it would be on real DCN.
+    rows = scaling_table(proc_counts=(1, 2, 4), local_devices=2, n_steps=8,
+                         scenarios_per_device=4, num_samples=512)
+    print(json.dumps({"metric": "multihost_scaling", "rows": rows}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()
