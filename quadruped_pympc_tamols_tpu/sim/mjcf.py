@@ -129,6 +129,12 @@ def terrain_bodies(scene: str, friction: float, seed: int = 0) -> str:
                 out.write(f'    <geom type="cylinder" size="0.15 0.15" group="2" '
                           f'pos="{x:.2f} {y:.2f} -0.15"/>\n')
         out.write('    <geom name="end" type="box" size="1.0 1.5 0.15" pos="4.1 0 -0.15" group="2"/>\n')
+    elif scene == "trip_bar":
+        # A low bar across the path that a swing foot strikes mid-swing: the
+        # early-stance reflex (geom_contact mode) must trigger and re-plan the
+        # swing from the hitpoint (reference early_stance_detector.py:90-115).
+        out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
+        out.write('    <geom name="bar" type="box" size="0.03 1.5 0.04" pos="0.45 0 0.04" group="2"/>\n')
     elif scene == "perlin" or scene == "rough":
         out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
         for i in range(120):

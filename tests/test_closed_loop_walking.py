@@ -74,6 +74,37 @@ def test_tamols_enters_stepping_stone_field():
     assert res.distance > 0.55, f"only travelled {res.distance:.2f} m"
 
 
+def test_sampling_reflex_trips_on_bar_and_recovers():
+    """Reflexes run under the SAMPLING family too (reference wb_interface.py:362-365
+    runs the early-stance detector regardless of controller): a swing foot striking
+    the low bar triggers geom_contact early stance, the swing re-plans from the
+    hitpoint, and the robot stays upright."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    class ReflexProbe:
+        def __init__(self):
+            self.trips = 0
+            self.legs = set()
+
+        def log(self, t, env, wrapper):
+            es = wrapper.wb_interface.esd.early_stance
+            if any(es):
+                self.trips += 1
+                self.legs |= {i for i, e in enumerate(es) if e}
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.sampling.num_samples": 1000,
+                         "sim.reflex_trigger_mode": "geom_contact",
+                         "sim.scene": "trip_bar"})
+    probe = ReflexProbe()
+    r = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
+                       ref_base_lin_vel=(0.3, 0.0), seed=0, logger=probe)[0]
+    assert probe.trips > 0, "early-stance reflex never triggered on the bar"
+    assert not r.fell, f"fell at {r.distance:.2f} m despite reflexes"
+
+
 def test_turning_with_yaw_rate_command():
     """Yaw-rate commands steer the trot: 0.3 rad/s commanded for 3 s yields most of
     the expected heading change while walking forward (both solver families, full
