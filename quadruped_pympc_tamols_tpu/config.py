@@ -270,6 +270,12 @@ class GradientParams:
     qp_iters_speed: int = 10
     qp_iters_crazy_speed: int = 5
     levenberg_marquardt: float = 1e-3
+    # Riccati backward pass for the DDP solver: 'sequential' (O(H) scan),
+    # 'associative' (O(log H)-depth associative scan, SURVEY 2.7/P5 — the
+    # parallel-in-time formulation in parallel_riccati.py), or 'auto'
+    # (associative for horizons >= 24, where stage-parallelism beats the
+    # sequential recursion's latency; sequential for the production H=12).
+    riccati_backward: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -433,6 +439,7 @@ _ENUM_FIELDS = {
     "mpc.gradient.qp_algorithm": ("mehrotra", "basic"),
     "mpc.gradient.as_rti_type": ("Standard", "AS-RTI-A", "AS-RTI-B", "AS-RTI-C",
                                  "AS-RTI-D"),
+    "mpc.gradient.riccati_backward": ("sequential", "associative", "auto"),
     "sim.swing_generator": ("bezier_ref", "scipy", "explicit"),
     "sim.visual_foothold_adaptation": ("blind", "height", "tamols"),
     "sim.reflex_trigger_mode": ("tracking", "geom_contact", "off"),

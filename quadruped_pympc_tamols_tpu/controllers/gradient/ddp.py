@@ -31,6 +31,7 @@ from .ocp import (
     rollout_nominal,
     step_fn,
 )
+from .parallel_riccati import lqr_backward_associative
 from .sqp import RTISolution
 
 
@@ -96,6 +97,32 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
             (A, B, xbar[1:], U, Xref, Uref), reverse=True)
         return kff, Kfb
 
+    def _backward_associative(lin, U, Xref, Uref):
+        """The SAME Riccati recursion as _backward in O(log H) depth
+        (parallel_riccati.py, SURVEY 2.7/P5), via an exact reduction to the
+        tracking-LQR form.
+
+        Delta coordinates around the (defect-free) nominal rollout: dx_{k+1} =
+        A_k dx_k + B_k du_k. The input linear term r_diag*(U-Uref) is absorbed by
+        completing the square with the shift m = R_f^{-1} r_diag (U-Uref)
+        (R_f = diag(r_diag) + lm*I, diagonal): w = du + m turns it into a pure
+        quadratic with affine dynamics term c_k = -B_k m_k. Stage state costs sit
+        on dx_{k+1} (the DDP stage cost is on the NEXT state), so the LQR sees
+        Q_0 = 0 and the last one becomes the terminal cost."""
+        A, B, xbar = lin.A, lin.B, lin.xbar
+        m = (r_diag * (U - Uref)) / (r_diag + lm)  # (H, nu)
+        c = -jnp.einsum("knm,km->kn", B, m)
+        g = q_diag * (xbar[1:] - Xref)  # (H, nx) cost gradients at dx_{k+1} = 0
+        Qk = jnp.diag(q_diag)
+        Qs = jnp.concatenate([jnp.zeros((1, nx, nx)),
+                              jnp.tile(Qk[None], (H - 1, 1, 1))], axis=0)
+        qs = jnp.concatenate([jnp.zeros((1, nx)), -g[:-1]], axis=0)
+        Rs = jnp.tile((jnp.diag(r_diag) + lm * jnp.eye(nu))[None], (H, 1, 1))
+        K, kff_lqr, _, _ = lqr_backward_associative(A, c, B, Qs, qs, Rs, Qk, -g[-1])
+        # LQR law w = -K dx + kff  ->  du = -K dx + (kff - m); the forward pass
+        # applies u = Ubar + alpha*kff_ddp + Kfb_ddp (x - xbar).
+        return kff_lqr - m, -K
+
     def _forward(alpha, x0, Ubar, xbar, kff, Kfb, feet_traj, contact_seq, Xref, Uref,
                  wrench, p_dyn):
         def body(carry, inp):
@@ -115,6 +142,14 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
     v_forward = jax.vmap(_forward,
                          in_axes=(0,) + (None,) * 11)
 
+    # Backward-pass selection (config mpc.gradient.riccati_backward): 'auto'
+    # switches to the parallel-in-time pass once the horizon is long enough for
+    # O(log H) depth to beat the sequential recursion's latency.
+    mode = gp.riccati_backward
+    if mode == "auto":
+        mode = "associative" if H >= 24 else "sequential"
+    backward_fn = _backward_associative if mode == "associative" else _backward
+
     def solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, ext_wrench=None,
               srbd_rt=None):
         # srbd_rt: optional runtime SRBDParams (use_inertia_recomputation), same
@@ -130,7 +165,7 @@ def make_ddp_solver(cfg: Config, integrator: str = "euler"):
                                    integrator, wrench)
             lin = linearize_dynamics(xbar, U, feet_traj, contact_seq, p_dyn, dts,
                                      integrator, wrench)
-            kff, Kfb = _backward(lin, U, Xref, Uref)
+            kff, Kfb = backward_fn(lin, U, Xref, Uref)
             costs, Us = v_forward(alphas, x0, U, xbar, kff, Kfb, feet_traj,
                                   contact_seq, Xref, Uref, wrench, p_dyn)
             costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(3.4e38))

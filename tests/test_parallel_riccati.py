@@ -63,3 +63,63 @@ def test_closed_loop_trajectories_identical():
     xs2, us2 = rollout(K2, k2)
     np.testing.assert_allclose(np.asarray(xs2), np.asarray(xs1), atol=1e-3)
     np.testing.assert_allclose(np.asarray(us2), np.asarray(us1), atol=1e-3)
+
+
+def _ddp_scene(cfg):
+    H = cfg.mpc.horizon
+    x0 = jnp.zeros(12).at[2].set(0.30).at[3].set(0.1)
+    feet_traj = jnp.tile(jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                                      [-0.25, 0.15, 0], [-0.25, -0.15, 0]],
+                                     jnp.float32), (H, 1, 1))
+    seq = np.ones((4, H), np.float32)
+    seq[1, : H // 2] = 0.0
+    seq[2, : H // 2] = 0.0
+    Xref = jnp.tile(jnp.zeros(12).at[2].set(0.35), (H, 1))
+    Uref = jnp.zeros((H, 12)).at[:, 2::3].set(cfg.robot.mass * 9.81 / 4)
+    return x0, feet_traj, jnp.asarray(seq), Xref, Uref
+
+
+def test_ddp_associative_backward_equals_sequential():
+    """The production consumer (config mpc.gradient.riccati_backward): the DDP
+    solve with the parallel-in-time backward matches the sequential backward on
+    a trot problem — the two passes solve the same LQR."""
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.controllers.gradient.ddp import make_ddp_solver
+
+    outs = {}
+    for mode in ("sequential", "associative"):
+        cfg = make_config("aliengo", mpc_type="nominal",
+                          **{"mpc.gradient.use_DDP": True,
+                             "mpc.gradient.riccati_backward": mode})
+        solve, _ = make_ddp_solver(cfg)
+        args = _ddp_scene(cfg)
+        outs[mode] = solve(*args, args[4])  # U_warm = Uref
+    U_seq = np.asarray(outs["sequential"].U)
+    U_assoc = np.asarray(outs["associative"].U)
+    scale = max(1.0, np.abs(U_seq).max())
+    np.testing.assert_allclose(U_assoc, U_seq, atol=2e-3 * scale,
+                               err_msg="parallel-in-time backward diverged from "
+                                       "the sequential Riccati inside DDP")
+    np.testing.assert_allclose(float(outs["associative"].cost),
+                               float(outs["sequential"].cost), rtol=1e-4)
+
+
+def test_ddp_long_horizon_auto_uses_associative():
+    """H=48 long-horizon DDP ('auto' selects the associative pass) solves to
+    finite, cone-feasible forces."""
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.controllers.gradient.ddp import make_ddp_solver
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"mpc.gradient.use_DDP": True, "mpc.horizon": 48,
+                         "mpc.horizon_fine_grained": 2})
+    assert cfg.mpc.gradient.riccati_backward == "auto"
+    solve, _ = make_ddp_solver(cfg)
+    args = _ddp_scene(cfg)
+    out = solve(*args, args[4])
+    U = np.asarray(out.U)
+    assert U.shape == (48, 12)
+    assert np.all(np.isfinite(U))
+    f = U.reshape(48, 4, 3)
+    assert np.all(f[:, :, 2] >= -1e-5)
+    assert np.all(np.abs(f[:, :, 0]) <= cfg.mpc.mu * f[:, :, 2] + 1e-3)
