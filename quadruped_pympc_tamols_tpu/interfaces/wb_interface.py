@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import Config, GAITS, GaitType, LEGS
+from ..config import Config, LEGS
 from ..gait.foothold_reference import FootholdReferenceGenerator
 from ..gait.modulation import EarlyStanceDetector, VelocityModulator
 from ..gait.periodic import PeriodicGaitGenerator, make_timer_dts
@@ -30,7 +30,10 @@ from ..utils.legs import Legs
 class WBInterface:
     def __init__(self, cfg: Config, initial_feet_pos: Legs):
         self.cfg = cfg
-        gait = GAITS[cfg.sim.gait]
+        # cfg.gait_params is the canonical gait source (make_config seeds it from
+        # GAITS[gait]); reading the static table here would silently ignore
+        # gait_params.* overrides (step_freq/duty_factor experiments).
+        gait = cfg.gait_params
         self.pgg = PeriodicGaitGenerator(gait, cfg.mpc.horizon)
         self.timer_dts = make_timer_dts(cfg.mpc)
 
@@ -65,6 +68,12 @@ class WBInterface:
             trigger_mode=cfg.sim.reflex_trigger_mode,
             activated=cfg.sim.reflex_trigger_mode != "off",
         )
+        # Reflex RE-PLANNING is a property of the swing generator, exactly as in
+        # the reference: only its scipy generator consumes hitpoints
+        # (scipy_swing_trajectory_generator.py:25-47); bezier_ref/explicit accept
+        # and ignore them (bezier_ref_swing_trajectory_generator.py:227-238). The
+        # detector still runs and exposes its state either way.
+        self._reflex_replanning = cfg.sim.swing_generator == "scipy"
         if cfg.sim.visual_foothold_adaptation != "blind":
             from ..planner.tamols import TamolsPlanner
             self.vfa = TamolsPlanner(cfg)
@@ -239,7 +248,8 @@ class WBInterface:
             step_h = np.full(4, stc.step_height, np.float32)
             lo = np.asarray(self.frg.lift_off_positions.data, np.float32).copy()
             for leg in range(4):
-                hm, hp = self.esd.hitmoments[leg], self.esd.hitpoints[leg]
+                hm, hp = ((self.esd.hitmoments[leg], self.esd.hitpoints[leg])
+                          if self._reflex_replanning else (-1.0, None))
                 if hp is None and stc.retarget_points[leg] is not None:
                     # Planner-moved touchdown: same re-planning, normal apex.
                     hm, hp = stc.retarget_moments[leg], stc.retarget_points[leg]
@@ -295,8 +305,10 @@ class WBInterface:
                         foot_vel=np.asarray(feet_vel[leg_name]),
                         h=np.asarray(legs_qfrc_bias[leg_name]).reshape(3),
                         mass_matrix=np.asarray(legs_mass_matrix[leg_name]),
-                        early_stance_hitmoment=self.esd.hitmoments[leg],
-                        early_stance_hitpoint=self.esd.hitpoints[leg],
+                        early_stance_hitmoment=(self.esd.hitmoments[leg]
+                                                if self._reflex_replanning else -1.0),
+                        early_stance_hitpoint=(self.esd.hitpoints[leg]
+                                               if self._reflex_replanning else None),
                     )
                     tau[leg] = t
                     des_foot_pos[leg] = p

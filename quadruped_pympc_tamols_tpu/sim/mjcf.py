@@ -17,17 +17,21 @@ from ..config import RobotParams
 
 
 def quadruped_mjcf(rp: RobotParams, scene: str = "flat", friction: float = 0.8,
-                   seed: int = 0) -> str:
-    """Build a complete MJCF scene string for the given robot + terrain."""
+                   seed: int = 0, leg_mass_fraction: float = 0.15) -> str:
+    """Build a complete MJCF scene string for the given robot + terrain.
+
+    ``leg_mass_fraction`` sets how much of the robot mass the legs carry (default
+    ~15%, matching the reference robots). The SRB/kinodynamic controllers model a
+    heavy trunk with massless legs, so raising it probes the model-mismatch
+    envelope (tests/test_mujoco_sim.py heavy-leg robustness)."""
     d = rp.hip_offset_y
     l3, l4 = rp.thigh_length, rp.calf_length
     trunk_x = rp.hip_x * 2 * 1.15
     trunk_y = rp.hip_y * 2 + 0.04
     trunk_z = 0.45 * rp.hip_height * 0.5
 
-    # Link masses: legs carry ~15% of the robot mass; the SRB controllers assume a
-    # heavy trunk, matching the reference robots.
-    m_leg = 0.15 * rp.mass / 4
+    # Link masses: the SRB controllers assume a heavy trunk (see docstring).
+    m_leg = leg_mass_fraction * rp.mass / 4
     m_hip, m_thigh, m_calf = 0.35 * m_leg, 0.45 * m_leg, 0.2 * m_leg
     m_trunk = rp.mass - 4 * m_leg
     I = rp.inertia_matrix()

@@ -23,12 +23,13 @@ except ImportError:  # pragma: no cover
 
 class QuadrupedEnv:
     def __init__(self, cfg: Config, scene: str | None = None, friction: float = 0.8,
-                 seed: int = 0):
+                 seed: int = 0, leg_mass_fraction: float = 0.15):
         if mujoco is None:
             raise ImportError("mujoco is not available")
         self.cfg = cfg
         self.scene = scene or cfg.sim.scene
-        xml = quadruped_mjcf(cfg.robot, self.scene, friction, seed)
+        xml = quadruped_mjcf(cfg.robot, self.scene, friction, seed,
+                             leg_mass_fraction=leg_mass_fraction)
         self.model = mujoco.MjModel.from_xml_string(xml)
         self.data = mujoco.MjData(self.model)
         self.sim_dt = self.model.opt.timestep

@@ -42,6 +42,7 @@ def run_simulation(
     logger=None,
     video_path: str | None = None,
     video_fps: float = 30.0,
+    leg_mass_fraction: float = 0.15,
 ):
     """Run episodes; returns a list of EpisodeResult.
 
@@ -56,7 +57,8 @@ def run_simulation(
 
     for ep in range(num_episodes):
         friction = rng.uniform(*friction_range)
-        env = QuadrupedEnv(cfg, scene=scene, friction=friction, seed=seed + ep)
+        env = QuadrupedEnv(cfg, scene=scene, friction=friction, seed=seed + ep,
+                           leg_mass_fraction=leg_mass_fraction)
         if isinstance(ref_base_lin_vel, tuple) and ref_base_lin_vel \
                 and ref_base_lin_vel[0] == "random":
             vel_cmd = np.array([rng.uniform(ref_base_lin_vel[1], ref_base_lin_vel[2]),

@@ -97,6 +97,10 @@ def test_sampling_reflex_trips_on_bar_and_recovers():
                       **{"sim.visual_foothold_adaptation": "blind",
                          "mpc.sampling.num_samples": 1000,
                          "sim.reflex_trigger_mode": "geom_contact",
+                         # Re-planning from the hitpoint is the scipy generator's
+                         # contract (reference scipy_swing_trajectory_generator.py:
+                         # 25-47; bezier ignores hitpoints).
+                         "sim.swing_generator": "scipy",
                          "sim.scene": "trip_bar"})
     probe = ReflexProbe()
     r = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
