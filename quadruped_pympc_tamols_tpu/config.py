@@ -309,6 +309,15 @@ class TamolsParams:
     constraint_box_dy: float = 0.05
     # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
     sensor_z_offset: float = 0.02
+    # Per-leg heightmap sensing window (rows along heading x cols lateral, at
+    # `resolution` m/cell). Defaults mirror the reference's 13x7 @ 4 cm sensors
+    # (simulation.py:489-509). Sparse terrains (stepping stones) need a wider
+    # LATERAL window: with 7 cols (+-0.14 m) a seed in the dead zone between
+    # stone columns only ever sees stone RIMS, so the planner walks the robot
+    # along edges; 13 cols (+-0.26 m) reaches the neighbors' interiors.
+    heightmap_rows: int = 13
+    heightmap_cols: int = 7
+    heightmap_resolution: float = 0.04
 
 
 @dataclasses.dataclass(frozen=True)

@@ -236,5 +236,8 @@ class QuadrupedEnv:
         import jax
         import jax.numpy as jnp
 
-        hms = [self.heightmap(np.asarray(ref_feet[leg])[:2], yaw) for leg in LEGS]
+        tp = self.cfg.tamols
+        hms = [self.heightmap(np.asarray(ref_feet[leg])[:2], yaw,
+                              rows=tp.heightmap_rows, cols=tp.heightmap_cols,
+                              resolution=tp.heightmap_resolution) for leg in LEGS]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *hms)

@@ -206,3 +206,31 @@ def test_batched_simulations_multiprocess():
                                  friction_range=(0.7, 1.0), seed=0)
     assert st.episodes == 2
     assert st.success_rate == 1.0
+
+
+def test_bound_gait_full_physics():
+    """The bounding gait (front/rear pair alternation, GAIT_PHASE_OFFSETS) moves
+    the robot forward closed-loop without falling — the reference only demos gait
+    types (periodic_gait_generator.py:24-39), never regression-tests them."""
+    cfg = make_config("aliengo", mpc_type="nominal", gait="bound",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=3.0,
+                         ref_base_lin_vel=(0.3, 0.0), seed=0)[0]
+    assert not res.fell, f"bound fell after {res.duration}s"
+    assert res.distance > 0.4, f"bound travelled {res.distance:.2f} m"
+
+
+def test_kinodynamic_heavy_legs_robustness():
+    """Model-mismatch envelope of the kinodynamic variant (trunk-SRB + massless
+    analytic legs vs the reference's URDF whole-body model,
+    kinodynamic_model.py:74-92): with the sim legs carrying 25% of the robot mass
+    (vs the 15% the registry robots have), the controller still trots without
+    falling. The massless-leg approximation is valid while leg mass stays a
+    modest fraction of total mass; see docs/ARCHITECTURE.md."""
+    cfg = make_config("aliengo", mpc_type="kinodynamic",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.5,
+                         ref_base_lin_vel=(0.25, 0.0), seed=0,
+                         leg_mass_fraction=0.25)[0]
+    assert not res.fell, f"kinodynamic heavy-leg fell after {res.duration}s"
+    assert res.distance > 0.15, f"travelled {res.distance:.2f} m"
