@@ -122,8 +122,48 @@ def terrain_bodies(scene: str, friction: float, seed: int = 0) -> str:
             out.write(f'    <geom type="box" size="{s:.2f} {s:.2f} {h/2:.3f}" group="2" '
                       f'pos="{x:.2f} {y:.2f} {h/2:.3f}"/>\n')
     elif scene == "stepping_stones":
-        # Six-section course in the spirit of docs/STEPPING_STONES_TERRAIN.md:9-40:
-        # flat approach, stone field (r=0.15 m, 0.4 m spacing), flat exit; gaps drop.
+        # The reference's six-section course, to spec
+        # (docs/STEPPING_STONES_TERRAIN.md:9-46, :126-135): flat start (2 m) ->
+        # 15 deg uphill (3 m) -> flat (1 m) -> stepping stones (4 m; r=0.15 m
+        # cylinders whose TOPS sit 0.05 m above the base surface, 0.4 m spacing,
+        # 3 per row, alternating half-spacing row offsets = plum-blossom) ->
+        # flat (1 m) -> 15 deg downhill (3 m). Deterministic (regression scene).
+        import math
+        ang = math.radians(15.0)
+        run, rise = 3.0 * math.cos(ang), 3.0 * math.sin(ang)
+        x_up0 = 1.0                      # uphill starts (spawn flat is 2 m)
+        x_up1 = x_up0 + run              # uphill ends
+        x_f1 = x_up1 + 1.0               # flat1 ends / stones start
+        x_st1 = x_f1 + 4.0               # stones end
+        x_f2 = x_st1 + 1.0               # flat2 ends / downhill starts
+        z_top = rise
+        out.write('    <geom name="floor" type="plane" size="40 40 0.1" pos="0 0 0" group="2"/>\n')
+        # Uphill box: top surface from (x_up0, 0) to (x_up1, z_top).
+        nx, nz = -math.sin(ang), math.cos(ang)  # top-surface normal (rot -15deg about y)
+        cx = (x_up0 + x_up1) / 2 - 0.05 * nx
+        cz = z_top / 2 - 0.05 * nz
+        out.write(f'    <geom name="uphill" type="box" size="1.52 1.5 0.05" group="2" '
+                  f'pos="{cx:.3f} 0 {cz:.3f}" euler="0 {-ang:.4f} 0"/>\n')
+        # Flat1 + stones base + flat2: one solid deck at z_top (stones rise 0.05
+        # above it, so a missed stone is a 5 cm step down onto solid ground).
+        deck_half = (x_f2 - x_up1) / 2 + 0.02
+        out.write(f'    <geom name="deck" type="box" size="{deck_half:.3f} 1.5 0.10" group="2" '
+                  f'pos="{(x_up1 + x_f2) / 2:.3f} 0 {z_top - 0.10:.3f}"/>\n')
+        for ix in range(10):
+            x = x_f1 + 0.2 + 0.4 * ix
+            ys = (-0.4, 0.0, 0.4) if ix % 2 == 0 else (-0.2, 0.2, 0.6)
+            for y in ys:
+                out.write(f'    <geom type="cylinder" size="0.15 0.025" group="2" '
+                          f'pos="{x:.3f} {y:.2f} {z_top + 0.025:.3f}"/>\n')
+        # Downhill box: top from (x_f2, z_top) to (x_f2 + run, 0).
+        cx = x_f2 + run / 2 + 0.05 * (-math.sin(-ang))
+        cz = z_top / 2 - 0.05 * nz
+        out.write(f'    <geom name="downhill" type="box" size="1.52 1.5 0.05" group="2" '
+                  f'pos="{cx:.3f} 0 {cz:.3f}" euler="0 {ang:.4f} 0"/>\n')
+    elif scene == "stepping_stones_chasm":
+        # Harder-than-reference variant kept as a stress test: the same stone
+        # radius/spacing but over 0.3 m deep gaps and a square grid (no
+        # plum-blossom offsets), with +-3 cm placement jitter.
         out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 -0.3" group="2"/>\n')
         out.write('    <geom name="start" type="box" size="1.0 1.5 0.15" pos="-0.5 0 -0.15" group="2"/>\n')
         for ix in range(6):

@@ -57,17 +57,18 @@ def test_stand_still_stays_put():
 
 
 def test_tamols_enters_stepping_stone_field():
-    """Closed-loop TAMOLS on the six-section stepping-stones course: crosses the
-    flat approach and walks into the stone field (first rows at x=0.65-0.95) without
-    falling within the window. Full-course crossing is an open item (README);
-    deterministic on the CPU platform (fixed seed)."""
+    """Closed-loop TAMOLS on the harder-than-reference CHASM variant (0.3 m deep
+    gaps, square grid, placement jitter): crosses the flat approach and walks into
+    the stone field (first rows at x=0.65-0.95) without falling within the window.
+    The reference-spec course crossing is test_crosses_reference_stepping_stones
+    (tests/test_mujoco_sim.py)."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
     cfg = make_config("aliengo", mpc_type="sampling",
                       **{"sim.visual_foothold_adaptation": "tamols",
                          "mpc.sampling.num_samples": 1000,
-                         "sim.scene": "stepping_stones"})
+                         "sim.scene": "stepping_stones_chasm"})
     res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.8,
                          ref_base_lin_vel=(0.4, 0.0), seed=0)[0]
     assert not res.fell, f"fell after {res.duration}s at {res.distance:.2f} m"
