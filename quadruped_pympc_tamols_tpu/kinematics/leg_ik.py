@@ -33,6 +33,13 @@ class LegKinematics:
         self.d_abd = robot.hip_offset_y
         self.l3 = robot.thigh_length
         self.l4 = robot.calf_length
+        # Per-joint (lo, hi) limits: IK solutions are clamped into them so an
+        # out-of-reach target saturates at the joint stops instead of the
+        # kinematic singularity. A straight-knee target (q3 -> 0) at the reach
+        # boundary sends the swing PD through the singularity and flings the leg
+        # (observed on go1, whose short legs hit the boundary most often).
+        self.q_lo = np.array([lim[0] for lim in robot.joint_limits], np.float32)
+        self.q_hi = np.array([lim[1] for lim in robot.joint_limits], np.float32)
         # Hip joint positions in the base frame (4, 3).
         self.hip_offsets_b = np.array(
             [
@@ -85,7 +92,8 @@ class LegKinematics:
         alpha = jnp.arctan2(-x, E)
         beta = jnp.arctan2(l4 * jnp.sin(-q3), l3 + l4 * jnp.cos(-q3))
         q2 = alpha + beta
-        return jnp.stack([q1, q2, q3], axis=-1)
+        q = jnp.stack([q1, q2, q3], axis=-1)
+        return jnp.clip(q, self.q_lo, self.q_hi)
 
     def _jac_single(self, q, side_sign):
         return jax.jacfwd(lambda qq: self.fk(qq, side_sign))(q)
@@ -133,7 +141,8 @@ class LegKinematics:
         alpha = np.arctan2(-x, E)
         beta = np.arctan2(l4 * np.sin(-q3), l3 + l4 * np.cos(-q3))
         q2 = alpha + beta
-        return np.stack([q1, q2, q3], axis=1)
+        q = np.stack([q1, q2, q3], axis=1)
+        return np.clip(q, self.q_lo[None, :], self.q_hi[None, :])
 
     def ik_world_np(self, feet_world, base_pos, R_b2w):
         """numpy twin of ik_world."""
