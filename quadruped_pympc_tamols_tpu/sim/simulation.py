@@ -43,6 +43,7 @@ def run_simulation(
     video_path: str | None = None,
     video_fps: float = 30.0,
     leg_mass_fraction: float = 0.15,
+    render: bool = False,
 ):
     """Run episodes; returns a list of EpisodeResult.
 
@@ -72,6 +73,15 @@ def run_simulation(
         if video_path is not None:
             from .video import VideoRecorder
             recorder = VideoRecorder(env, video_path, fps=video_fps)
+        viewer = None
+        if render:
+            # Live interactive viewer (reference simulation.py:713-770 renders at
+            # 30 Hz with overlays; here mujoco.viewer's passive window, synced at
+            # the same rate). Headless environments simply raise at launch —
+            # keep render=False (the default) there and use video_path instead.
+            import mujoco.viewer as mj_viewer
+            viewer = mj_viewer.launch_passive(env.model, env.data)
+            next_sync = 0.0
 
         n_steps = int(round(episode_duration_s / env.sim_dt))
         hist = np.zeros((n_steps, 12))
@@ -136,6 +146,12 @@ def run_simulation(
                 logger.log(t * env.sim_dt, env, wrapper)
             if recorder is not None:
                 recorder.maybe_capture(t * env.sim_dt, wrapper)
+            if viewer is not None:
+                if not viewer.is_running():
+                    break
+                if t * env.sim_dt >= next_sync:
+                    viewer.sync()
+                    next_sync = t * env.sim_dt + 1.0 / 30.0
             if x[2] < 0.5 * cfg.sim.ref_z or abs(x[6]) > 0.8 or abs(x[7]) > 0.8:
                 fell = True
                 hist = hist[: t + 1]
@@ -143,6 +159,8 @@ def run_simulation(
 
         if recorder is not None:
             recorder.close(episode=ep)
+        if viewer is not None:
+            viewer.close()
         results.append(EpisodeResult(
             duration=len(hist) * env.sim_dt,
             distance=float(env.base_pos[0] - x0[0]),
