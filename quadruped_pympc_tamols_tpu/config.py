@@ -120,7 +120,10 @@ _HYQ_INERTIA = _sym(
 # Mass/inertia values per robot mirror reference config.py:19-66; l_min/l_max mirror
 # the tamols_params tables at config.py:234-237.
 ROBOTS: dict[str, RobotParams] = {
-    "go1": RobotParams("go1", 12.019, _GO_INERTIA, hip_height=0.30, l_min=0.15, l_max=0.45,
+    # go1 stands ~0.27 m; at 0.30 (63% of total reach left) an out-of-reach swing
+    # target occurs every few strides and the trot stalls at ~0.1 m/s (measured;
+    # at 0.27 the nominal family tracks 0.25 m/s with vel_err 0.05).
+    "go1": RobotParams("go1", 12.019, _GO_INERTIA, hip_height=0.27, l_min=0.15, l_max=0.45,
                        hip_offset_y=0.08, thigh_length=0.213, calf_length=0.213,
                        hip_x=0.1881, hip_y=0.04675),
     "go2": RobotParams("go2", 15.019, _GO_INERTIA, hip_height=0.28, l_min=0.15, l_max=0.45,

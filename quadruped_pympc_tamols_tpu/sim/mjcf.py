@@ -104,9 +104,17 @@ def terrain_bodies(scene: str, friction: float, seed: int = 0) -> str:
         out.write(f'    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" '
                   f'friction="0.35 0.02 0.01"/>\n')
     elif scene == "ramp":
+        # 15 deg uphill whose surface starts AT ground level at x=0.8 (the old
+        # buried-box construction emerged from the floor as a knife-edge wedge
+        # mid-slope, which is what robots actually failed on).
+        import math
+        ang = 0.2618
         out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
-        out.write('    <geom name="ramp" type="box" size="2 2 0.05" pos="2.5 0 0.3" '
-                  'euler="0 -0.26 0"/>\n')
+        nx, nz = -math.sin(ang), math.cos(ang)
+        cx = 0.8 + 2.0 * math.cos(ang) - 0.05 * nx
+        cz = 2.0 * math.sin(ang) - 0.05 * nz
+        out.write(f'    <geom name="ramp" type="box" size="2 2 0.05" group="2" '
+                  f'pos="{cx:.3f} 0 {cz:.3f}" euler="0 {-ang:.4f} 0"/>\n')
     elif scene == "stairs":
         out.write('    <geom name="floor" type="plane" size="30 30 0.1" pos="0 0 0" group="2"/>\n')
         for i in range(8):

@@ -234,3 +234,17 @@ def test_kinodynamic_heavy_legs_robustness():
                          leg_mass_fraction=0.25)[0]
     assert not res.fell, f"kinodynamic heavy-leg fell after {res.duration}s"
     assert res.distance > 0.15, f"travelled {res.distance:.2f} m"
+
+
+def test_go1_trots_at_quarter_meter_per_second():
+    """go1 (the registry's shortest-legged Unitree) tracks 0.25 m/s closed-loop
+    with the nominal gradient MPC at its corrected 0.27 m standing height (at
+    0.30 the swing targets leave the reach envelope every few strides and the
+    trot stalls ~0.1 m/s)."""
+    cfg = make_config("go1", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=4.0,
+                         ref_base_lin_vel=(0.25, 0.0), seed=0)[0]
+    assert not res.fell, f"go1 fell after {res.duration}s"
+    assert res.distance > 0.6, f"go1 travelled {res.distance:.2f} m of ~1.0"
+    assert res.mean_vel_error < 0.12, f"vel_err {res.mean_vel_error:.3f}"
