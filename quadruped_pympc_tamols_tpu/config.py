@@ -240,6 +240,11 @@ class GradientParams:
     ddp_iters: int = 4
     num_qp_iterations: int = 1
     solver_mode: str = "balance"  # balance | robust | speed | crazy_speed
+    # The reference knob controls an EXPLICIT pre-solve trajectory fill
+    # (centroidal_nmpc_nominal.py:1048-1113) on top of acados' internal
+    # previous-solution memory. Here the solver's RTI-shifted U_warm IS that
+    # internal memory (sqp.py), so the always-on behavior maps to acados'
+    # default and this flag is config-surface parity only.
     use_warm_start: bool = False
     use_integrators: bool = False
     alpha_integrator: float = 0.1
@@ -292,12 +297,19 @@ class TamolsParams:
     # moves the touchdown > 3 cm (otherwise the foot descends on the stale
     # lift-off curve and lands short of the moved target).
     retarget_swing: bool = True
+    # Candidate search radius around the seed foothold: heightmap cells beyond
+    # it are infeasible (reference visual_foothold_adaptation.py:245-259 builds
+    # its grid within this radius). search_resolution is that grid's step; here
+    # candidates ARE the heightmap cells, so heightmap_resolution plays the role.
     search_radius: float = 0.32
     search_resolution: float = 0.04
     gradient_delta: float = 0.04
     weight_edge_avoidance: float = 10.0
     weight_roughness: float = 10.0
     weight_deviation: float = 2.0
+    # Declared by the reference but its cost term is commented out there
+    # (visual_foothold_adaptation.py:323-330, '这个cost有很大问题'); kept for
+    # config-surface parity, intentionally unused — nominal_kinematic covers it.
     weight_kinematic: float = 2.0
     weight_nominal_kinematic: float = 0.0
     weight_reference_tracking: float = 10.0

@@ -84,11 +84,16 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
             fh = jnp.concatenate([seed[:2], h[None]])
             return (fh, fh - _BIG, fh + _BIG, jnp.asarray(0.0), jnp.asarray(True))
 
+        # --- hard: candidate search radius around the seed (reference :245-259
+        # builds its candidate grid within search_radius; heightmap cells beyond
+        # it are excluded so a wide sensing window doesn't admit far-flung cells).
+        in_radius = jnp.linalg.norm(cand_xy - seed[:2], axis=1) <= tp.search_radius
+
         # --- hard: kinematic reach at touch-down and predicted lift-off (:375-395).
         d_td = jnp.linalg.norm(cand - hip, axis=1)
         hip_lo = hip + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
         d_lo = jnp.linalg.norm(cand - hip_lo, axis=1)
-        feas = (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
+        feas = in_radius & (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
 
         # --- hard: leg-terrain collision along the hip->foot segment (:397-420).
         alphas = jnp.linspace(0.2, 0.8, 5)
@@ -141,6 +146,8 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         dist = jnp.linalg.norm(com_pred[None, :] - closest, axis=1)
         stab_pen = jnp.maximum(dist - tp.stability_margin, 0.0) ** 2
         stab = jnp.where(in_stance == 1.0, 0.0, stab_pen) * tp.weight_stability
+        if not tp.stability_soft:
+            stab = stab * 0.0  # soft penalty disabled (hard gate may still apply)
         if tp.stability_hard:
             feas = feas & ((dist <= tp.stability_margin) | (in_stance == 1.0))
 
