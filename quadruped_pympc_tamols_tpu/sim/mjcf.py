@@ -40,18 +40,22 @@ def quadruped_mjcf(rp: RobotParams, scene: str = "flat", friction: float = 0.8,
     tau_max = rp.mass * 9.81 * max(l3, l4) * 0.9  # ~54 Nm for aliengo (real: 44-55)
 
     legs = []
+    # Joint ranges come from RobotParams.joint_limits — the same limits the
+    # analytic IK clamps to (kinematics/leg_ik.py), so sim stops and commanded
+    # targets agree.
+    (h_lo, h_hi), (t_lo, t_hi), (c_lo, c_hi) = rp.joint_limits
     for name, sx, sy in (("FL", 1, 1), ("FR", 1, -1), ("RL", -1, 1), ("RR", -1, -1)):
         hip_pos = f"{sx * rp.hip_x:.4f} {sy * rp.hip_y:.4f} 0"
         abd = f"0 {sy * d:.4f} 0"
         legs.append(f"""
       <body name="{name}_hip" pos="{hip_pos}">
-        <joint name="{name}_hip_joint" type="hinge" axis="1 0 0" range="-1.0 1.0" damping="0.01"/>
+        <joint name="{name}_hip_joint" type="hinge" axis="1 0 0" range="{h_lo} {h_hi}" damping="0.01"/>
         <geom type="cylinder" size="0.035 0.02" quat="0.707 0 0.707 0" mass="{m_hip:.3f}"/>
         <body name="{name}_thigh" pos="{abd}">
-          <joint name="{name}_thigh_joint" type="hinge" axis="0 1 0" range="-2.5 2.5" damping="0.01"/>
+          <joint name="{name}_thigh_joint" type="hinge" axis="0 1 0" range="{t_lo} {t_hi}" damping="0.01"/>
           <geom type="capsule" fromto="0 0 0  0 0 {-l3:.4f}" size="0.022" mass="{m_thigh:.3f}"/>
           <body name="{name}_calf" pos="0 0 {-l3:.4f}">
-            <joint name="{name}_calf_joint" type="hinge" axis="0 1 0" range="-2.7 -0.3" damping="0.01"/>
+            <joint name="{name}_calf_joint" type="hinge" axis="0 1 0" range="{c_lo} {c_hi}" damping="0.01"/>
             <geom type="capsule" fromto="0 0 0  0 0 {-l4:.4f}" size="0.016" mass="{m_calf:.3f}"/>
             <geom name="{name}_foot" type="sphere" pos="0 0 {-l4:.4f}" size="0.02"
                   friction="{friction} 0.02 0.01" mass="0.05"/>

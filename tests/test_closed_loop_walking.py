@@ -56,29 +56,24 @@ def test_stand_still_stays_put():
     assert abs(hist[-1, 2] - cfg.sim.ref_z) < 0.05
 
 
-def test_tamols_enters_stepping_stone_field():
-    """Closed-loop TAMOLS on the harder-than-reference CHASM variant (0.3 m deep
-    gaps, square grid, placement jitter): crosses the flat approach and walks into
-    the stone field (first rows at x=0.65-0.95) without falling within the window.
-    The reference-spec course crossing is test_crosses_reference_stepping_stones
-    (tests/test_mujoco_sim.py)."""
+def test_reference_course_uphill_with_tamols():
+    """The reference's six-section stepping-stones course (docs/
+    STEPPING_STONES_TERRAIN.md:9-46), built to spec in sim/mjcf.py: the nominal
+    gradient MPC with TAMOLS climbs the 15 deg uphill without falling and is well
+    up the slope within the window (dist 2.64 m measured; the uphill spans
+    x=1.0-3.9). Full-field crossing progress: the 60 s run reaches x=6.1 — 1.2 m
+    INTO the stone field — before falling (README roadmap). The harder-than-spec
+    chasm variant (stepping_stones_chasm) remains as an uncovered stress demo."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
-    cfg = make_config("aliengo", mpc_type="sampling",
-                      **{"sim.visual_foothold_adaptation": "tamols",
-                         "mpc.sampling.num_samples": 1000,
-                         # The anti-overextension velocity modulator deadlocks
-                         # against deliberate long reaches onto the first stone
-                         # row (it freezes forward motion while a leg is
-                         # extended, which keeps the leg extended); sparse
-                         # terrain runs disable it.
-                         "sim.velocity_modulator": False,
-                         "sim.scene": "stepping_stones_chasm"})
-    res = run_simulation(cfg, num_episodes=1, episode_duration_s=2.8,
-                         ref_base_lin_vel=(0.4, 0.0), seed=0)[0]
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "tamols"})
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=15.0,
+                         ref_base_lin_vel=(0.3, 0.0), scene="stepping_stones",
+                         seed=0)[0]
     assert not res.fell, f"fell after {res.duration}s at {res.distance:.2f} m"
-    assert res.distance > 0.55, f"only travelled {res.distance:.2f} m"
+    assert res.distance > 2.0, f"only travelled {res.distance:.2f} m (uphill stall)"
 
 
 def test_sampling_reflex_trips_on_bar_and_recovers():
