@@ -53,18 +53,21 @@ class QuadrupedEnv:
         if base_pos is not None:
             self.data.qpos[0:3] = base_pos
         if joints is None:
-            # Nominal crouch from the analytic IK at standing height.
+            # Nominal crouch from the analytic IK at standing height; feet placed
+            # just above the local ground (base height minus the default standing
+            # clearance), so non-origin spawns on raised terrain start consistent.
             from ..kinematics.leg_ik import LegKinematics
             import jax.numpy as jnp
             from ..utils.frames import euler_xyz_to_rot
 
             kin = LegKinematics(self.cfg.robot)
             rp = self.cfg.robot
-            feet = np.array([[rp.hip_x, rp.hip_y + rp.hip_offset_y, 0.02],
-                             [rp.hip_x, -rp.hip_y - rp.hip_offset_y, 0.02],
-                             [-rp.hip_x, rp.hip_y + rp.hip_offset_y, 0.02],
-                             [-rp.hip_x, -rp.hip_y - rp.hip_offset_y, 0.02]])
             base = np.asarray(self.data.qpos[0:3])
+            fz = float(base[2]) - (rp.hip_height + 0.03) + 0.02
+            feet = np.array([[base[0] + rp.hip_x, base[1] + rp.hip_y + rp.hip_offset_y, fz],
+                             [base[0] + rp.hip_x, base[1] - rp.hip_y - rp.hip_offset_y, fz],
+                             [base[0] - rp.hip_x, base[1] + rp.hip_y + rp.hip_offset_y, fz],
+                             [base[0] - rp.hip_x, base[1] - rp.hip_y - rp.hip_offset_y, fz]])
             joints = np.asarray(kin.ik_world(jnp.asarray(feet, jnp.float32),
                                              jnp.asarray(base, jnp.float32),
                                              euler_xyz_to_rot(jnp.zeros(3)))).reshape(12)

@@ -44,6 +44,7 @@ def run_simulation(
     video_fps: float = 30.0,
     leg_mass_fraction: float = 0.15,
     render: bool = False,
+    spawn=None,
 ):
     """Run episodes; returns a list of EpisodeResult.
 
@@ -60,6 +61,11 @@ def run_simulation(
         friction = rng.uniform(*friction_range)
         env = QuadrupedEnv(cfg, scene=scene, friction=friction, seed=seed + ep,
                            leg_mass_fraction=leg_mass_fraction)
+        if spawn is not None:
+            # Spawn mid-course (e.g. on the stepping-stones deck) for focused
+            # terrain experiments; spawn = (x, y, ground_z).
+            env.reset(base_pos=np.array([spawn[0], spawn[1],
+                                         spawn[2] + cfg.robot.hip_height + 0.03]))
         if isinstance(ref_base_lin_vel, tuple) and ref_base_lin_vel \
                 and ref_base_lin_vel[0] == "random":
             vel_cmd = np.array([rng.uniform(ref_base_lin_vel[1], ref_base_lin_vel[2]),
