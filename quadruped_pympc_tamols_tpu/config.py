@@ -322,6 +322,21 @@ class TamolsParams:
     slope_threshold: float = 0.7
     constraint_box_dx: float = 0.05
     constraint_box_dy: float = 0.05
+    # Full-foot-support hard constraint: reject candidates whose +-gradient_delta
+    # patch spans more than this height range (the foot would straddle a ledge —
+    # stone rims, stair noses). >=1.0 disables it (reference parity: the
+    # reference has no such term and lands on rims its edge cost can't see).
+    support_margin: float = 1.0
+    # Soft companion to support_margin: penalty weight on the height span of a
+    # wider (+-2*gradient_delta) ring, pushing the argmin toward stone/pocket
+    # INTERIORS instead of the first feasible cell past a rim (landing margin
+    # against swing-tracking error). Active only when support_margin < 1.
+    weight_support: float = 20.0
+    # Leg-crossing hard guard: candidates less than this far onto the leg's own
+    # side of the body centerline (yaw-aligned frame) are infeasible. Prevents
+    # stance-width collapse when sparse terrain pulls both same-axle feet toward
+    # one stone. <=0 disables (reference parity: no such constraint there).
+    lateral_margin: float = 0.0
     # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
     sensor_z_offset: float = 0.02
     # Per-leg heightmap sensing window (rows along heading x cols lateral, at

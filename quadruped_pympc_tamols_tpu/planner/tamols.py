@@ -39,6 +39,11 @@ _BIG = 1.0e10
 # Trot diagonal partners: FL<->RR, FR<->RL (reference :640-645).
 _DIAG = np.array([3, 2, 1, 0])
 
+# Lateral side sign per leg (FL, FR, RL, RR): left legs live at +y in the
+# yaw-aligned frame, right legs at -y (same convention as the Raibert
+# generator's stance-width offsets, gait/foothold_reference.py).
+_Y_OFFSET_SIGN = np.array([1.0, -1.0, 1.0, -1.0], dtype=np.float32)
+
 
 class TamolsResult(NamedTuple):
     footholds: jnp.ndarray  # (4, 3) adapted footholds (world)
@@ -72,7 +77,8 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     Pproj = _detrend_projection(tp.gradient_delta)  # host numpy constant
     z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
 
-    def _leg_adapt(hm: GridHeightMap, seed, hip, base_pos, base_vel, in_stance, diag_foot):
+    def _leg_adapt(hm: GridHeightMap, seed, hip, side, base_pos, base_vel, in_stance,
+                   diag_foot):
         """Score all cells of one leg's heightmap. All lookups are on this leg's grid."""
         cand_xy = hm.cell_world_xy().reshape(-1, 2)  # (M, 2)
         # Candidate z: grid height + sensor offset + 0.005 (reference :192).
@@ -94,6 +100,17 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         hip_lo = hip + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
         d_lo = jnp.linalg.norm(cand - hip_lo, axis=1)
         feas = in_radius & (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
+
+        # --- hard: lateral lane (leg-crossing guard, beyond the reference). A
+        # candidate across the body centerline (in the yaw-aligned frame) would
+        # cross the stance legs — on sparse terrain the deviation-cost argmin
+        # otherwise happily parks BOTH same-axle feet on one stone (stance-width
+        # collapse) or splits them across lanes. Margin in meters; <=0 disables.
+        if tp.lateral_margin > 0.0:
+            c_y, s_y = jnp.cos(hm.yaw), jnp.sin(hm.yaw)
+            rel = cand_xy - base_pos[:2]
+            y_h = -s_y * rel[:, 0] + c_y * rel[:, 1]
+            feas = feas & (side * y_h >= tp.lateral_margin)
 
         # --- hard: leg-terrain collision along the hip->foot segment (:397-420).
         alphas = jnp.linspace(0.2, 0.8, 5)
@@ -117,6 +134,35 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         patch = lookup_nearest(hm, cand_xy[:, None, :] + offs[None, :, :]) + z_off  # (M, 9)
         resid = patch @ Pproj.T
         rough = jnp.mean(resid * resid, axis=1) * tp.weight_roughness
+
+        # --- hard: full-foot support (beyond the reference). A candidate whose
+        # +-gradient_delta patch spans more than support_margin of height sits on
+        # a ledge/rim: part of the foot would hang off (e.g. the rim of a
+        # stepping stone, where the reference's edge term is blind — a 5 cm
+        # stone over a 8 cm central difference is slope 0.625, UNDER the 0.7
+        # slope_threshold). Rim cells both sides of the discontinuity are
+        # rejected, so landings commit to the stone top or the clean deck.
+        if tp.support_margin < 1.0:
+            span = jnp.max(patch, axis=1) - jnp.min(patch, axis=1)
+            feas = feas & (span <= tp.support_margin)
+
+        # --- soft: rim proximity (paired with support_margin). The hard mask
+        # only needs the +-delta patch flat, so the argmin (pulled by the
+        # deviation cost) settles on the FIRST feasible cell past a rim; any
+        # tracking error then lands the foot back on the ledge. Penalizing
+        # height span over a wider ring (+-2*delta) pushes the choice toward
+        # stone/pocket interiors, buying ~one cell of landing margin.
+        support_soft = 0.0
+        if tp.support_margin < 1.0 and tp.weight_support > 0.0:
+            offs2 = jnp.asarray(
+                [[i * 2 * delta, j * 2 * delta] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                 if not (i == 0 and j == 0)], jnp.float32)  # (8, 2) outer ring
+            ring = lookup_nearest(hm, cand_xy[:, None, :] + offs2[None, :, :]) + z_off
+            center = patch[:, 4]  # (0, 0) column of the 3x3 patch
+            lo_r = jnp.minimum(jnp.min(ring, axis=1), center)
+            hi_r = jnp.maximum(jnp.max(ring, axis=1), center)
+            support_soft = jnp.maximum(hi_r - lo_r - tp.support_margin, 0.0) \
+                * tp.weight_support
 
         # --- soft: deviation from seed (3D, reference :344).
         dev = jnp.sum((cand - seed) ** 2, axis=1) * tp.weight_deviation
@@ -151,7 +197,7 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         if tp.stability_hard:
             feas = feas & ((dist <= tp.stability_margin) | (in_stance == 1.0))
 
-        cost = edge + rough + dev + nominal + track + stab
+        cost = edge + rough + dev + nominal + track + stab + support_soft
         cost = jnp.where(feas, cost, _BIG)
 
         best = jnp.argmin(cost)
@@ -169,9 +215,10 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
 
     def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact, feet):
         diag_feet = feet[_DIAG]
+        sides = jnp.asarray(_Y_OFFSET_SIGN)
         fh, lo, hi, cost, feas = jax.vmap(
-            _leg_adapt, in_axes=(0, 0, 0, None, None, 0, 0)
-        )(hms, seeds, hips, base_pos, base_vel, current_contact, diag_feet)
+            _leg_adapt, in_axes=(0, 0, 0, 0, None, None, 0, 0)
+        )(hms, seeds, hips, sides, base_pos, base_vel, current_contact, diag_feet)
         return TamolsResult(fh, lo, hi, cost, feas)
 
     return jax.jit(adapt)

@@ -98,6 +98,48 @@ def test_stepping_stones_lands_on_stones():
         assert z == 0.0, f"leg {leg} landed in a gap at {fh[leg]}"
 
 
+def test_support_margin_rejects_rim_cells():
+    """5 cm stones on a solid deck (the REFERENCE-SPEC course geometry): a 5 cm
+    rise over the 8 cm central difference is slope 0.625, UNDER slope_threshold
+    0.7 — the reference's edge cost is blind to it and happily lands on rims.
+    With the support-margin mask on, every chosen foothold's local patch must be
+    flat: the landing commits to a stone top or clean deck, never a rim."""
+    def low_stones(x, y):
+        cx = jnp.round(x / 0.4) * 0.4
+        cy = jnp.round(y / 0.4) * 0.4
+        on = (x - cx) ** 2 + (y - cy) ** 2 <= 0.15**2
+        return jnp.where(on, 0.05, 0.0)
+
+    # Seeds in the dead zone between stones, near rims.
+    seeds = np.array([[0.21, 0.15, 0.05], [0.21, -0.15, 0.05],
+                      [-0.21, 0.15, 0.05], [-0.21, -0.15, 0.05]])
+    cfg = make_config("aliengo", **{"tamols.support_margin": 0.03,
+                                    "tamols.heightmap_cols": 13})
+    adapt = make_tamols_scorer(cfg, "tamols")
+    hips = seeds + np.array([0.0, 0.0, 0.35])
+    hms = _make_hms(low_stones, seeds)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.40]), np.array([0.1, 0.0, 0.0]),
+                np.zeros(4), seeds.copy())
+    fh = np.asarray(res.footholds)
+    assert np.all(np.asarray(res.feasible)), "stone interiors are in reach and flat"
+    delta = cfg.tamols.gradient_delta
+    for leg in range(4):
+        patch = np.array([
+            float(low_stones(jnp.asarray(fh[leg, 0] + i * delta),
+                             jnp.asarray(fh[leg, 1] + j * delta)))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)])
+        assert patch.max() - patch.min() <= 0.03 + 1e-6, \
+            f"leg {leg} landed on a rim at {fh[leg]}"
+
+
+def test_support_margin_off_is_reference_parity():
+    """Default (support_margin >= 1) leaves scoring bit-identical to before."""
+    cfg, adapt, hms, seeds, hips, feet = _setup(flat)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.zeros(3),
+                np.zeros(4), feet)
+    assert np.all(np.asarray(res.feasible))
+
+
 def test_kinematic_infeasible_falls_back_to_seed():
     """Hips absurdly far away -> nothing reachable -> fall back to height-snapped seed."""
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
