@@ -323,9 +323,12 @@ class TamolsParams:
     constraint_box_dx: float = 0.05
     constraint_box_dy: float = 0.05
     # Full-foot-support hard constraint: reject candidates whose +-gradient_delta
-    # patch spans more than this height range (the foot would straddle a ledge —
-    # stone rims, stair noses). >=1.0 disables it (reference parity: the
-    # reference has no such term and lands on rims its edge cost can't see).
+    # patch, after plane detrending (smooth slopes pass; the projector is the
+    # roughness term's), spans more than this residual range — the foot would
+    # straddle a ledge (stone rims, stair noses). A 5 cm ledge leaves a ~0.02-0.035
+    # residual span depending on where the edge cuts the patch, so ~0.015 is a
+    # good working value. >=1.0 disables it (reference parity: the reference has
+    # no such term and lands on rims its edge cost can't see).
     support_margin: float = 1.0
     # Soft companion to support_margin: penalty weight on the height span of a
     # wider (+-2*gradient_delta) ring, pushing the argmin toward stone/pocket

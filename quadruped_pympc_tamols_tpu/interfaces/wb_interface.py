@@ -83,6 +83,13 @@ class WBInterface:
         self.current_contact = np.ones(4)
         self.previous_contact = np.ones(4)
         self.last_des_foot_pos = Legs.zeros((3,))
+        # Moving-average base velocity for the foothold planner: the raw MuJoCo
+        # velocity oscillates +-0.3 m/s during stumbles, and feeding it to the
+        # TAMOLS reach/stability predictions flips forward candidates infeasible
+        # exactly when a good foothold matters most (same smoothing the Raibert
+        # generator applies to its capture-point term).
+        import collections
+        self._vel_hist = collections.deque(maxlen=20)
 
     # ------------------------------------------------------------------
     def update_state_and_reference(
@@ -133,6 +140,7 @@ class WBInterface:
         # The compute runs once per swing when heightmaps are available; applying the
         # stored adaptation and the full-stance reset do NOT depend on fresh sensing.
         ref_feet_constraints = None
+        self._vel_hist.append(np.asarray(base_lin_vel, np.float64).copy())
         if self.vfa is not None:
             if heightmaps is not None \
                     and self.stc.check_apex_condition(self.current_contact, interval=0.01,
@@ -142,7 +150,7 @@ class WBInterface:
                 self.vfa.compute_adaptation(
                     heightmaps, seeds,
                     np.asarray(hip_pos.data), np.asarray(base_pos),
-                    np.asarray(base_lin_vel), self.current_contact,
+                    np.mean(self._vel_hist, axis=0), self.current_contact,
                     np.asarray(feet_pos.data))
                 # When the planner moved a touchdown substantially, RE-PLAN the
                 # remaining swing from the current foot position (the reflex
@@ -354,3 +362,4 @@ class WBInterface:
         self.esd.reset()
         self.current_contact = np.ones(4)
         self.previous_contact = np.ones(4)
+        self._vel_hist.clear()

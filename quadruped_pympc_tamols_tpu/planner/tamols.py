@@ -143,7 +143,10 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         # slope_threshold). Rim cells both sides of the discontinuity are
         # rejected, so landings commit to the stone top or the clean deck.
         if tp.support_margin < 1.0:
-            span = jnp.max(patch, axis=1) - jnp.min(patch, axis=1)
+            # Span of the plane-DETRENDED patch: zero on any smooth slope (a 15
+            # deg ramp's raw +-delta span is ~0.030 and would trip the margin),
+            # unchanged on a rim/ledge discontinuity.
+            span = jnp.max(resid, axis=1) - jnp.min(resid, axis=1)
             feas = feas & (span <= tp.support_margin)
 
         # --- soft: rim proximity (paired with support_margin). The hard mask
@@ -154,14 +157,13 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         # stone/pocket interiors, buying ~one cell of landing margin.
         support_soft = 0.0
         if tp.support_margin < 1.0 and tp.weight_support > 0.0:
-            offs2 = jnp.asarray(
-                [[i * 2 * delta, j * 2 * delta] for i in (-1, 0, 1) for j in (-1, 0, 1)
-                 if not (i == 0 and j == 0)], jnp.float32)  # (8, 2) outer ring
-            ring = lookup_nearest(hm, cand_xy[:, None, :] + offs2[None, :, :]) + z_off
-            center = patch[:, 4]  # (0, 0) column of the 3x3 patch
-            lo_r = jnp.minimum(jnp.min(ring, axis=1), center)
-            hi_r = jnp.maximum(jnp.max(ring, axis=1), center)
-            support_soft = jnp.maximum(hi_r - lo_r - tp.support_margin, 0.0) \
+            # Same 3x3 patch geometry at 2*delta (the plane projector is
+            # invariant to uniform scaling of the patch positions), detrended so
+            # smooth slopes cost nothing but nearby ledges do.
+            ring = lookup_nearest(hm, cand_xy[:, None, :] + 2.0 * offs[None, :, :]) + z_off
+            resid2 = ring @ Pproj.T
+            span2 = jnp.max(resid2, axis=1) - jnp.min(resid2, axis=1)
+            support_soft = jnp.maximum(span2 - tp.support_margin, 0.0) \
                 * tp.weight_support
 
         # --- soft: deviation from seed (3D, reference :344).
@@ -247,6 +249,8 @@ class TamolsPlanner:
                             jnp.asarray(feet, jnp.float32))
         self.footholds_adaptation = np.asarray(res.footholds)
         self.footholds_constraints = (np.asarray(res.constraints_lo), np.asarray(res.constraints_hi))
+        self.last_seeds = np.asarray(seeds)  # observability (loggers/tests)
+        self.last_feasible = np.asarray(res.feasible)
         self.initialized = True
         return res
 

@@ -48,8 +48,9 @@ def run_simulation(
 ):
     """Run episodes; returns a list of EpisodeResult.
 
-    ``ref_base_lin_vel`` is either a fixed (vx, vy) or a ("random", lo, hi) tuple for
-    randomized-velocity datagen (reference simulation.py:433-442).
+    ``ref_base_lin_vel`` is a fixed (vx, vy), a ("random", lo, hi) tuple for
+    randomized-velocity datagen (reference simulation.py:433-442), or a callable
+    t -> (vx, vy) velocity schedule (course runs that slow down for a section).
     """
     rng = np.random.default_rng(seed)
     results = []
@@ -66,7 +67,13 @@ def run_simulation(
             # terrain experiments; spawn = (x, y, ground_z).
             env.reset(base_pos=np.array([spawn[0], spawn[1],
                                          spawn[2] + cfg.robot.hip_height + 0.03]))
-        if isinstance(ref_base_lin_vel, tuple) and ref_base_lin_vel \
+        vel_schedule = None
+        if callable(ref_base_lin_vel):
+            # Velocity schedule: a callable t -> (vx, vy) evaluated every step
+            # (e.g. slow down for the stepping-stone section of a course).
+            vel_schedule = ref_base_lin_vel
+            vel_cmd = np.array([*vel_schedule(0.0), 0.0])
+        elif isinstance(ref_base_lin_vel, tuple) and ref_base_lin_vel \
                 and ref_base_lin_vel[0] == "random":
             vel_cmd = np.array([rng.uniform(ref_base_lin_vel[1], ref_base_lin_vel[2]),
                                 0.0, 0.0])
@@ -97,6 +104,8 @@ def run_simulation(
         x0 = env.base_pos.copy()
 
         for t in range(n_steps):
+            if vel_schedule is not None:
+                vel_cmd = np.array([*vel_schedule(t * env.sim_dt), 0.0])
             heightmaps = None
             if use_hm and wrapper.wb_interface.vfa is not None \
                     and not wrapper.wb_interface.vfa.initialized:

@@ -113,7 +113,7 @@ def test_support_margin_rejects_rim_cells():
     # Seeds in the dead zone between stones, near rims.
     seeds = np.array([[0.21, 0.15, 0.05], [0.21, -0.15, 0.05],
                       [-0.21, 0.15, 0.05], [-0.21, -0.15, 0.05]])
-    cfg = make_config("aliengo", **{"tamols.support_margin": 0.03,
+    cfg = make_config("aliengo", **{"tamols.support_margin": 0.015,
                                     "tamols.heightmap_cols": 13})
     adapt = make_tamols_scorer(cfg, "tamols")
     hips = seeds + np.array([0.0, 0.0, 0.35])
