@@ -302,6 +302,14 @@ class TamolsParams:
     # its grid within this radius). search_resolution is that grid's step; here
     # candidates ARE the heightmap cells, so heightmap_resolution plays the role.
     search_radius: float = 0.32
+    # Along-heading semi-axis of the (elliptical) candidate search region; the
+    # default (= search_radius) is the reference's isotropic disc. Shrink for
+    # sparse terrain: forward snaps land at the reach limit (see planner/tamols.py).
+    search_radius_forward: float = 0.32
+    # Backward semi-axis: a touchdown moved BEHIND the Raibert seed mid-swing
+    # demands a velocity reversal the leg cannot track (measured forward
+    # overshoots of 0.2+ m onto stone rims). Default keeps the isotropic disc.
+    search_radius_back: float = 0.32
     search_resolution: float = 0.04
     gradient_delta: float = 0.04
     weight_edge_avoidance: float = 10.0
@@ -340,6 +348,10 @@ class TamolsParams:
     # stance-width collapse when sparse terrain pulls both same-axle feet toward
     # one stone. <=0 disables (reference parity: no such constraint there).
     lateral_margin: float = 0.0
+    # Foot-collision exclusion: candidates closer than this (xy) to any OTHER
+    # leg's current foot are infeasible (base sway can otherwise double-book one
+    # stone for two legs). <=0 disables (reference parity).
+    foot_separation: float = 0.0
     # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
     sensor_z_offset: float = 0.02
     # Per-leg heightmap sensing window (rows along heading x cols lateral, at

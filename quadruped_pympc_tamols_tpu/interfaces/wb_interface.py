@@ -280,7 +280,14 @@ class WBInterface:
             pos, vel, acc = swing_refs_np(self.stc.generator, t_eff, period, step_h,
                                           lo, td)
             m = swing_mask[:, None].astype(np.float64)
-            des_foot_pos = m * pos + (1.0 - m) * td
+            # Stance legs HOLD their current position: their IK/PD target must
+            # not be the NEXT foothold (td), or the joint impedance drags planted
+            # feet toward future touchdowns — measured sliding stance feet off
+            # stepping stones. Feedforward tau = -J^T f carries stance; the PD
+            # contributes ~zero there (reference sim applies feedforward only,
+            # simulation.py:683-696).
+            feet_arr = np.asarray(feet_pos.data, np.float64)
+            des_foot_pos = m * pos + (1.0 - m) * feet_arr
             des_foot_vel = m * vel
             des_acc = m * acc
             des_q = self.ik.ik_world_np(des_foot_pos, np.asarray(base_pos),
@@ -322,7 +329,8 @@ class WBInterface:
                     des_foot_pos[leg] = p
                     des_foot_vel[leg] = v
                 else:
-                    des_foot_pos[leg] = np.asarray(nmpc_footholds[leg_name])
+                    # Hold current position (see fused-path comment above).
+                    des_foot_pos[leg] = np.asarray(feet_pos[leg_name]).reshape(3)
 
         self.last_des_foot_pos = Legs(des_foot_pos.copy())
 

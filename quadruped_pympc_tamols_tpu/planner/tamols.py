@@ -77,8 +77,8 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     Pproj = _detrend_projection(tp.gradient_delta)  # host numpy constant
     z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
 
-    def _leg_adapt(hm: GridHeightMap, seed, hip, side, base_pos, base_vel, in_stance,
-                   diag_foot):
+    def _leg_adapt(hm: GridHeightMap, seed, hip, side, other_feet, base_pos, base_vel,
+                   in_stance, diag_foot):
         """Score all cells of one leg's heightmap. All lookups are on this leg's grid."""
         cand_xy = hm.cell_world_xy().reshape(-1, 2)  # (M, 2)
         # Candidate z: grid height + sensor offset + 0.005 (reference :192).
@@ -93,7 +93,20 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         # --- hard: candidate search radius around the seed (reference :245-259
         # builds its candidate grid within search_radius; heightmap cells beyond
         # it are excluded so a wide sensing window doesn't admit far-flung cells).
-        in_radius = jnp.linalg.norm(cand_xy - seed[:2], axis=1) <= tp.search_radius
+        # The radius is an ELLIPSE in the yaw-aligned frame when
+        # search_radius_forward < search_radius: lateral snaps are safe (the hip
+        # passes over them) but along-heading snaps land at the reach limit — a
+        # touchdown moved ~0.25 m ahead of the Raibert seed saturates the leg's
+        # IK mid-swing and the foot never descends (measured on the
+        # stepping-stones course). Defaults keep the reference's isotropic disc.
+        rel = cand_xy - seed[:2]
+        c_r, s_r = jnp.cos(hm.yaw), jnp.sin(hm.yaw)
+        dx_h = c_r * rel[:, 0] + s_r * rel[:, 1]
+        dy_h = -s_r * rel[:, 0] + c_r * rel[:, 1]
+        rx_f = min(tp.search_radius_forward, tp.search_radius)
+        rx_b = min(tp.search_radius_back, tp.search_radius)
+        rx = jnp.where(dx_h > 0, rx_f, rx_b)
+        in_radius = (dx_h / rx) ** 2 + (dy_h / tp.search_radius) ** 2 <= 1.0
 
         # --- hard: kinematic reach at touch-down and predicted lift-off (:375-395).
         d_td = jnp.linalg.norm(cand - hip, axis=1)
@@ -108,9 +121,18 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         # collapse) or splits them across lanes. Margin in meters; <=0 disables.
         if tp.lateral_margin > 0.0:
             c_y, s_y = jnp.cos(hm.yaw), jnp.sin(hm.yaw)
-            rel = cand_xy - base_pos[:2]
-            y_h = -s_y * rel[:, 0] + c_y * rel[:, 1]
+            rel_b = cand_xy - base_pos[:2]
+            y_h = -s_y * rel_b[:, 0] + c_y * rel_b[:, 1]
             feas = feas & (side * y_h >= tp.lateral_margin)
+
+        # --- hard: foot separation (collision with the other feet). Base sway
+        # can otherwise double-book one stone for two legs — measured: RR landed
+        # ON RL's foot mid-field. The reference scores legs independently and
+        # has no such exclusion. <=0 disables.
+        if tp.foot_separation > 0.0:
+            d_feet = jnp.linalg.norm(
+                cand_xy[:, None, :] - other_feet[None, :, :2], axis=-1)  # (M, 3)
+            feas = feas & jnp.all(d_feet >= tp.foot_separation, axis=1)
 
         # --- hard: leg-terrain collision along the hip->foot segment (:397-420).
         alphas = jnp.linspace(0.2, 0.8, 5)
@@ -218,9 +240,13 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact, feet):
         diag_feet = feet[_DIAG]
         sides = jnp.asarray(_Y_OFFSET_SIGN)
+        # Per-leg (3, 3) stack of the OTHER legs' current feet.
+        others = jnp.stack(
+            [feet[np.array([j for j in range(4) if j != i])] for i in range(4)])
         fh, lo, hi, cost, feas = jax.vmap(
-            _leg_adapt, in_axes=(0, 0, 0, 0, None, None, 0, 0)
-        )(hms, seeds, hips, sides, base_pos, base_vel, current_contact, diag_feet)
+            _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0)
+        )(hms, seeds, hips, sides, others, base_pos, base_vel, current_contact,
+          diag_feet)
         return TamolsResult(fh, lo, hi, cost, feas)
 
     return jax.jit(adapt)
