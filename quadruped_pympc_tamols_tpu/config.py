@@ -420,6 +420,11 @@ class SimParams:
     # IK backend (reference wb_interface.py:10-11 selects by import):
     # 'analytic' (closed form, default) | 'numeric' (damped LS) | 'qp' (joint-limit QP).
     ik_solver: str = "analytic"
+    # Raise the bezier's P1/P2 by (boost/2, boost)*step_height so the foot leaves
+    # the ground with an upward initial velocity (gait/swing.py bezier_swing_refs).
+    # 0 = the reference's v=a=0 liftoff clamp; ~1.0 helps sparse terrain where the
+    # toe otherwise drags across the lift-off stone's far rim.
+    swing_liftoff_boost: float = 0.0
     reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
     reflex_max_step_height: float = 0.175  # 0.5*hip_height
     velocity_modulator: bool = True

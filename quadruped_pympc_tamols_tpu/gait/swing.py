@@ -50,7 +50,8 @@ def _bernstein6(s):
     return b, db, d2b
 
 
-def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_down):
+def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_down,
+                      liftoff_boost: float = 0.0):
     """Desired foot (pos, vel, acc) on the degree-6 Bezier swing curve.
 
     Args:
@@ -58,6 +59,12 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
         swing_period: scalar total swing duration.
         step_height: scalar apex height above max(lift_off_z, touch_down_z).
         lift_off: (..., 3), touch_down: (..., 3).
+        liftoff_boost: raise P1/P2 by (boost/2, boost)*step_height above P0 so the
+            foot leaves the ground with an UPWARD initial velocity instead of the
+            reference's v=a=0 clamp — on sparse terrain the zero-velocity start
+            drags the toe at stone-top height across the stone's own far rim
+            (measured ~7 cm z tracking lag in early swing). P3 is compensated so
+            the apex height stays exactly step_height. 0 = reference parity.
 
     Returns:
         (pos, vel, acc), each (..., 3). Broadcasts over legs/batches.
@@ -66,13 +73,19 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
     p0 = lift_off
     pf = touch_down
 
+    d = liftoff_boost * step_height
     z_mid = jnp.maximum(p0[..., 2], pf[..., 2]) + step_height
-    p3_z = (64.0 * z_mid - 22.0 * p0[..., 2] - 22.0 * pf[..., 2]) / 20.0
+    # Midpoint: z(0.5) = (p0 + 6 p1 + 15 p2 + 20 p3 + 22 pf)/64 with the raised
+    # P1/P2 contributing an extra 18 d/64 — folded into p3_z.
+    p3_z = (64.0 * z_mid - 22.0 * p0[..., 2] - 22.0 * pf[..., 2]) / 20.0 - 18.0 * d / 20.0
     p3 = jnp.concatenate(
         [0.5 * (p0[..., :2] + pf[..., :2]), p3_z[..., None]], axis=-1
     )
-    # Control points (..., 7, 3): [p0, p0, p0, p3, pf, pf, pf]
-    cp = jnp.stack([p0, p0, p0, p3, pf, pf, pf], axis=-2)
+    up = jnp.zeros_like(p0).at[..., 2].set(1.0)
+    p1 = p0 + 0.5 * d * up
+    p2 = p0 + d * up
+    # Control points (..., 7, 3): [p0, p1, p2, p3, pf, pf, pf]
+    cp = jnp.stack([p0, p1, p2, p3, pf, pf, pf], axis=-2)
 
     b, db, d2b = _bernstein6(s)
     pos = jnp.einsum("...i,...ij->...j", b, cp)
@@ -136,7 +149,7 @@ def _bernstein6_np(s):
 
 
 def swing_refs_np(generator, swing_time, swing_period, step_height, lift_off,
-                  touch_down):
+                  touch_down, liftoff_boost: float = 0.0):
     """numpy host twin of bezier/explicit swing refs, vectorized over legs.
 
     The per-tick swing math is ~1k scalar FLOPs; on TPU a chain of (4,3)-shaped ops
@@ -169,10 +182,15 @@ def swing_refs_np(generator, swing_time, swing_period, step_height, lift_off,
         return (np.where(f, pu, pd_), np.where(f, vu, vd) / half[..., None],
                 np.where(f, au, ad) / (half * half)[..., None])
     s = np.clip(t / period, 0.0, 1.0)
+    d = liftoff_boost * sh
     z_mid = np.maximum(p0[:, 2], pf[:, 2]) + sh
-    p3_z = (64.0 * z_mid - 22.0 * p0[:, 2] - 22.0 * pf[:, 2]) / 20.0
+    p3_z = (64.0 * z_mid - 22.0 * p0[:, 2] - 22.0 * pf[:, 2]) / 20.0 - 18.0 * d / 20.0
     p3 = np.concatenate([0.5 * (p0[:, :2] + pf[:, :2]), p3_z[:, None]], axis=1)
-    cp = np.stack([p0, p0, p0, p3, pf, pf, pf], axis=1)  # (4, 7, 3)
+    up = np.zeros_like(p0)
+    up[:, 2] = 1.0
+    p1 = p0 + (0.5 * d * up if np.ndim(d) == 0 else 0.5 * d[:, None] * up)
+    p2 = p0 + (d * up if np.ndim(d) == 0 else d[:, None] * up)
+    cp = np.stack([p0, p1, p2, p3, pf, pf, pf], axis=1)  # (4, 7, 3)
     b, db, d2b = _bernstein6_np(s)
     pos = np.einsum("li,lij->lj", b, cp)
     vel = np.einsum("li,lij->lj", db, cp) / period[..., None]
@@ -227,10 +245,16 @@ def swing_cartesian_torque(des_pos, des_vel, des_acc, foot_pos, foot_vel, J, J_d
     e_p = np.asarray(des_pos).reshape(3) - np.asarray(foot_pos).reshape(3)
     e_v = np.asarray(des_vel).reshape(3) - np.asarray(foot_vel).reshape(3)
     fb = kp * e_p + kd * e_v
-    tau = np.asarray(J).T @ fb
+    Jm = np.asarray(J)
+    tau = Jm.T @ fb
     if feedback_linearization:
         acc = np.asarray(des_acc).reshape(3) + fb
-        tau = tau + np.asarray(mass_matrix) @ np.linalg.pinv(np.asarray(J)) @ (
+        # Damped least-squares inverse: near a singular leg pose (straight or
+        # fully folded — routine when stepping between stone tops and the deck)
+        # the exact pinv explodes and the resulting torque spike slams the
+        # joints to their limits (measured: calf driven to -2.7 rad mid-swing).
+        Jinv = Jm.T @ np.linalg.inv(Jm @ Jm.T + 2e-3 * np.eye(3))
+        tau = tau + np.asarray(mass_matrix) @ Jinv @ (
             acc - np.asarray(J_dot) @ np.asarray(q_dot).reshape(3)) \
             + np.asarray(h).reshape(3)
     return tau
@@ -244,7 +268,8 @@ class SwingTrajectoryController:
     """
 
     def __init__(self, step_height, swing_period, position_gain_fb, velocity_gain_fb,
-                 generator: str = "bezier_ref", reflex_max_step_height: float | None = None):
+                 generator: str = "bezier_ref", reflex_max_step_height: float | None = None,
+                 liftoff_boost: float = 0.0):
         # 'scipy' is an explicit alias of 'bezier_ref' (see config.SimParams): the
         # reference's scipy generator exists for reflex re-planning, implemented here
         # natively in compute_trajectory_references.
@@ -256,6 +281,7 @@ class SwingTrajectoryController:
         self.reflex_max_step_height = (
             reflex_max_step_height if reflex_max_step_height is not None else 1.6 * step_height
         )
+        self.liftoff_boost = liftoff_boost
         self.swing_time = [0.0, 0.0, 0.0, 0.0]
         self.use_feedback_linearization = True
         self.use_friction_compensation = True
@@ -295,10 +321,15 @@ class SwingTrajectoryController:
                            else hit_step_height)
             period = max(self.swing_period - hitmoment, 1e-3)
             t = swing_time - hitmoment
-        fn = explicit_swing_refs_jit if self.generator == "explicit" else bezier_swing_refs_jit
-        pos, vel, acc = fn(jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
-                           jnp.asarray(lift_off, jnp.float32),
-                           jnp.asarray(touch_down, jnp.float32))
+        if self.generator == "explicit":
+            pos, vel, acc = explicit_swing_refs_jit(
+                jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
+                jnp.asarray(lift_off, jnp.float32), jnp.asarray(touch_down, jnp.float32))
+        else:
+            pos, vel, acc = bezier_swing_refs_jit(
+                jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
+                jnp.asarray(lift_off, jnp.float32), jnp.asarray(touch_down, jnp.float32),
+                jnp.float32(self.liftoff_boost))
         return np.asarray(pos), np.asarray(vel), np.asarray(acc)
 
     # -- control ------------------------------------------------------------

@@ -48,6 +48,7 @@ class WBInterface:
             velocity_gain_fb=cfg.sim.swing_velocity_gain_fb,
             generator=cfg.sim.swing_generator,
             reflex_max_step_height=cfg.sim.reflex_max_step_height,
+            liftoff_boost=cfg.sim.swing_liftoff_boost,
         )
         self.terrain_estimator = TerrainEstimator()
         if cfg.sim.ik_solver == "numeric":
@@ -278,7 +279,8 @@ class WBInterface:
             from ..utils.frames import euler_xyz_to_rot_np
 
             pos, vel, acc = swing_refs_np(self.stc.generator, t_eff, period, step_h,
-                                          lo, td)
+                                          lo, td,
+                                          liftoff_boost=self.stc.liftoff_boost)
             m = swing_mask[:, None].astype(np.float64)
             # Stance legs HOLD their current position: their IK/PD target must
             # not be the NEXT foothold (td), or the joint impedance drags planted
@@ -345,7 +347,11 @@ class WBInterface:
                 des_foot_pos[1], des_foot_pos[2], des_foot_pos[3]).reshape(4, 3)
         des_qd = np.zeros((4, 3))
         for leg in range(4):
-            des_qd[leg] = np.linalg.pinv(jac[leg]) @ des_foot_vel[leg]
+            # Damped inverse (see swing_cartesian_torque): a near-singular leg
+            # otherwise yields huge joint-velocity targets.
+            Jm = jac[leg]
+            des_qd[leg] = Jm.T @ np.linalg.inv(Jm @ Jm.T + 2e-3 * np.eye(3)) \
+                @ des_foot_vel[leg]
 
         # Kinodynamic variant: the OCP's joint trajectories override the IK targets
         # (reference wb_interface.py:440-443).

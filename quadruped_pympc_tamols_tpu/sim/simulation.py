@@ -69,10 +69,16 @@ def run_simulation(
                                          spawn[2] + cfg.robot.hip_height + 0.03]))
         vel_schedule = None
         if callable(ref_base_lin_vel):
-            # Velocity schedule: a callable t -> (vx, vy) evaluated every step
-            # (e.g. slow down for the stepping-stone section of a course).
-            vel_schedule = ref_base_lin_vel
-            vel_cmd = np.array([*vel_schedule(0.0), 0.0])
+            # Velocity schedule: a callable t -> (vx, vy) — or (t, base_pos) ->
+            # (vx, vy) for closed-loop steering — evaluated every step (e.g. slow
+            # down for the stepping-stone section of a course, hold the course
+            # centerline).
+            import inspect
+
+            n_args = len(inspect.signature(ref_base_lin_vel).parameters)
+            vel_schedule = (ref_base_lin_vel if n_args >= 2
+                            else lambda t, _pos, _f=ref_base_lin_vel: _f(t))
+            vel_cmd = np.array([*vel_schedule(0.0, env.base_pos), 0.0])
         elif isinstance(ref_base_lin_vel, tuple) and ref_base_lin_vel \
                 and ref_base_lin_vel[0] == "random":
             vel_cmd = np.array([rng.uniform(ref_base_lin_vel[1], ref_base_lin_vel[2]),
@@ -105,7 +111,7 @@ def run_simulation(
 
         for t in range(n_steps):
             if vel_schedule is not None:
-                vel_cmd = np.array([*vel_schedule(t * env.sim_dt), 0.0])
+                vel_cmd = np.array([*vel_schedule(t * env.sim_dt, env.base_pos), 0.0])
             heightmaps = None
             if use_hm and wrapper.wb_interface.vfa is not None \
                     and not wrapper.wb_interface.vfa.initialized:
