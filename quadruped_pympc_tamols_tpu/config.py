@@ -223,6 +223,11 @@ class SamplingParams:
     max_force_x: float = 10.0
     max_force_y: float = 10.0
     max_force_z: float = 30.0
+    # Per-leg static-equilibrium gravity share instead of the uniform
+    # m*g/n_stance split (rollout.equilibrium_share): on slopes the sampler then
+    # explores around the correct fore/aft load distribution instead of
+    # rediscovering it after every lift-off reset. False = reference parity.
+    equilibrium_share: bool = False
     mppi_temperature: float = 1.0
     cem_elite: int = 10
     cem_sigma_min: float = 0.2

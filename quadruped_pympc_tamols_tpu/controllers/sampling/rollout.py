@@ -36,19 +36,49 @@ def apply_force_model_rows(raw12, contact4, share, fm: ForceModelParams):
     """Map one step's 12 raw force rows to physical GRFs.
 
     raw12: (12, ...) rows ordered [leg][axis]; contact4: (4,) stance mask; share:
-    scalar gravity-share force. Returns (12, ...) physical force rows."""
+    scalar gravity-share force, or (4,) PER-LEG shares (equilibrium_share).
+    Returns (12, ...) physical force rows."""
+    per_leg = getattr(share, "ndim", 0) >= 1
     out = []
     for leg in range(4):
         cl = contact4[leg]
+        sh = share[leg] if per_leg else share
         fx = raw12[leg * 3 + 0] * (cl * fm.scale_x)
         fy = raw12[leg * 3 + 1] * (cl * fm.scale_y)
-        fz = (share + raw12[leg * 3 + 2]) * cl
+        fz = (sh + raw12[leg * 3 + 2]) * cl
         fz = jnp.clip(fz, fm.grf_min, fm.grf_max)
         lim_x = fm.mu * fz
         fx = jnp.clip(fx, -lim_x, lim_x)
         fy = jnp.clip(fy, -lim_x, lim_x)
         out.extend([fx, fy, fz])
     return out
+
+
+def equilibrium_share(feet, com_pos, contact_seq, mass, gravity, grf_max):
+    """Static-equilibrium per-leg vertical force distribution, (H, 4).
+
+    The plain gravity share m*g/n_stance loads every stance leg EQUALLY; on a
+    slope (or any stance where the CoM is off-center) equilibrium demands an
+    unequal fore/aft split, and the sampling deltas must rediscover that coupled
+    pattern from scratch after every lift-off reset — measured: the sampling
+    family stalls at the base of the reference course's 15 deg ramp while the
+    gradient family (which SOLVES for the distribution) climbs. This computes
+    the least-norm f_z >= 0 with sum(f_z) = m*g and zero CoM moment,
+        f = A^T (A A^T + eps I)^(-1) b,   A = [c; (p_x - com_x) c; (p_y - com_y) c]
+    per horizon stage (regularized: with 2 stance legs the 3 constraints are
+    only met in the least-squares sense, which IS the right fore/aft split).
+    """
+    b = jnp.array([mass * gravity, 0.0, 0.0], jnp.float32)
+    dx = feet[:, 0] - com_pos[0]
+    dy = feet[:, 1] - com_pos[1]
+
+    def per_stage(c):
+        A = jnp.stack([c, dx * c, dy * c])  # (3, 4)
+        M = A @ A.T + 1e-3 * jnp.eye(3, dtype=jnp.float32)
+        f = A.T @ jnp.linalg.solve(M, b)
+        return jnp.clip(f, 0.0, grf_max)
+
+    return jax.vmap(per_stage)(contact_seq.T.astype(jnp.float32))  # (H, 4)
 
 
 def rollout_costs_soa(state12, feet, ref12, raw_steps, contact_seq, share, dts, q_diag,
@@ -63,7 +93,8 @@ def rollout_costs_soa(state12, feet, ref12, raw_steps, contact_seq, share, dts, 
         raw_steps: (H, 12, N) raw spline outputs, step-major (see
             splines.make_step_major_basis).
         contact_seq: (4, H) stance masks.
-        share: (H,) per-step gravity-share force m*g/n_stance.
+        share: (H,) per-step gravity-share force m*g/n_stance, or (H, 4)
+            per-leg equilibrium shares (see equilibrium_share).
         dts: (H,) per-stage integration steps.
         q_diag: (12,) diagonal state-cost weights — a HOST numpy array (static),
             so zero-weight terms vanish at trace time.

@@ -32,7 +32,8 @@ import numpy as np
 
 from ...config import Config
 from ...dynamics.srbd import SRBDParams, integrate_euler, make_params
-from .rollout import ForceModelParams, apply_force_model_rows, rollout_costs_soa
+from .rollout import (ForceModelParams, apply_force_model_rows,
+                      equilibrium_share, rollout_costs_soa)
 from .splines import (
     make_shift_basis,
     make_spline_basis,
@@ -120,16 +121,25 @@ def make_sampling_solver(cfg: Config, num_samples: int | None = None, method: st
             raise ValueError(f"unknown sampling method {method!r}")
         return noise.astype(jnp.float32)
 
-    def _share(contact_seq):
-        """(H,) gravity-share force m*g/n_stance (reference :377-385)."""
+    use_eq_share = sp.equilibrium_share
+
+    def _share(contact_seq, state12=None, feet=None):
+        """(H,) gravity-share m*g/n_stance (reference :377-385), or the (H, 4)
+        static-equilibrium per-leg distribution when sampling.equilibrium_share
+        (rollout.equilibrium_share — lets the sampler explore around the correct
+        fore/aft split on slopes instead of rediscovering it every lift-off)."""
+        if use_eq_share and state12 is not None:
+            return equilibrium_share(feet, state12[:3], contact_seq, srbd.mass,
+                                     9.81, fm.grf_max)
         n_stance = jnp.sum(contact_seq, axis=0)
         return srbd.mass * 9.81 / jnp.maximum(n_stance, 1.0)
 
-    def _grf_step0(params, contact_seq):
+    def _grf_step0(params, contact_seq, state12=None, feet=None):
         """params (P,) -> (4, 3) physical first-step GRFs (extraction path,
         reference centroidal_nmpc_jax.py:707-746)."""
         raw0 = W_big[0:12] @ params  # (12,)
-        rows = apply_force_model_rows(raw0, contact_seq[:, 0], _share(contact_seq)[0], fm)
+        rows = apply_force_model_rows(raw0, contact_seq[:, 0],
+                                      _share(contact_seq, state12, feet)[0], fm)
         return jnp.stack(rows).reshape(4, 3)
 
     def _one_iteration(carry, _, state12, feet, ref12, contact_seq):
@@ -139,8 +149,8 @@ def make_sampling_solver(cfg: Config, num_samples: int | None = None, method: st
         params_vec = best_params[:, None] + noise
         raw = (W_big @ params_vec).reshape(H, 12, params_vec.shape[-1])
         costs = rollout_costs_soa(state12, feet, ref12, raw, contact_seq,
-                                  _share(contact_seq), dts, Qdiag, srbd, fm,
-                                  _COST_SATURATION)
+                                  _share(contact_seq, state12, feet), dts, Qdiag,
+                                  srbd, fm, _COST_SATURATION)
 
         best_idx = jnp.argmin(costs)
         best_cost = costs[best_idx]
@@ -207,7 +217,7 @@ def make_sampling_solver(cfg: Config, num_samples: int | None = None, method: st
         )
 
         # First-step GRF from the final parameters (reference :707-746).
-        grfs = _grf_step0(best_params, contact_seq)
+        grfs = _grf_step0(best_params, contact_seq, state12, feet_eff)
 
         predicted_state = integrate_euler(
             state12, feet_eff, grfs, contact_seq[:, 0], srbd, dts[0]
