@@ -3,7 +3,9 @@ from .controller_node import ControllerNode
 from .ros2_node import (
     BaseState,
     BlindState,
+    ControllerBridge,
     ControlSignal,
+    LocalTransport,
     QuadrupedPyMPCRosNode,
     RobotStateAssembler,
     TimeDebug,
@@ -12,6 +14,7 @@ from .ros2_node import (
     pack_trajectory_generator,
     rclpy_available,
 )
+from .sim_node import SimulatorNode
 
 __all__ = [
     "ControlBus",
@@ -20,9 +23,12 @@ __all__ = [
     "ControllerNode",
     "BaseState",
     "BlindState",
+    "ControllerBridge",
     "ControlSignal",
+    "LocalTransport",
     "QuadrupedPyMPCRosNode",
     "RobotStateAssembler",
+    "SimulatorNode",
     "TimeDebug",
     "TrajectoryGenerator",
     "pack_control_signal",

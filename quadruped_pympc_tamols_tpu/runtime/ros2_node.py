@@ -123,6 +123,10 @@ class TrajectoryGenerator:  # msg/TrajectoryGenerator.msg
         default_factory=lambda: np.zeros(12))
     touch_down: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(12))
     swing_period: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(4))
+    normal_force_max: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4))
+    normal_force_min: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4))
 
 
 @dataclasses.dataclass
@@ -132,10 +136,35 @@ class TimeDebug:  # msg/TimeDebug.msg
 
 
 @dataclasses.dataclass
-class FeetContactState:  # msg/FeetContactState.msg (subset used by the stack)
+class FeetContactState:  # msg/FeetContactState.msg
+    frame_id: str = "world"
     sequence_id: int = 0
     timestamp: float = 0.0
-    contact: List[bool] = dataclasses.field(default_factory=lambda: [True] * 4)
+    robot_name: str = ""
+    feet_name: List[str] = dataclasses.field(default_factory=list)
+    linear_grf_feet: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(12))
+    angular_grf_feet: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(12))
+
+
+@dataclasses.dataclass
+class Imu:  # msg/Imu.msg
+    frame_id: str = "base"
+    sequence_id: int = 0
+    timestamp: float = 0.0
+    orientation: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0]))
+    orientation_covariance: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(9))
+    angular_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    angular_velocity_covariance: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(9))
+    linear_acceleration: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    linear_acceleration_covariance: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(9))
 
 
 def quat_wxyz_to_euler_xyz(q) -> np.ndarray:
@@ -206,6 +235,84 @@ class RobotStateAssembler:
         }
 
 
+class LocalTransport:
+    """In-process pub/sub with DDS-like topic semantics (depth-1, latest wins).
+
+    Stands in for the rclpy publisher/subscription plumbing so the controller
+    bridge and the simulator node can be wired back-to-back and tested without a
+    ROS2 installation — the message objects crossing it are the dataclass schemas
+    above, i.e. exactly what the wire conversion in QuadrupedPyMPCRosNode
+    produces/consumes."""
+
+    def __init__(self):
+        self._subs: dict = {}
+        self.published: dict = {}  # topic -> count (observability/tests)
+
+    def subscribe(self, topic: str, callback):
+        self._subs.setdefault(topic, []).append(callback)
+
+    def publish(self, topic: str, msg):
+        self.published[topic] = self.published.get(topic, 0) + 1
+        for cb in self._subs.get(topic, ()):
+            cb(msg)
+
+
+class ControllerBridge:
+    """Transport-agnostic controller node (reference ros2/run_controller.py:97-560):
+    subscribes ``/base_state`` + ``/blind_state``, and on every :meth:`tick`
+    publishes ``/quadruped_pympc_torques`` (ControlSignal),
+    ``/trajectory_generator`` (TrajectoryGenerator) and ``/time_debug`` (TimeDebug).
+
+    QuadrupedPyMPCRosNode adds the rclpy wire conversion around this; the loopback
+    test pairs it with SimulatorNode over a LocalTransport."""
+
+    def __init__(self, cfg: Config, transport, mpc_mode: str = "inline",
+                 rate_hz: float = 250.0, seed: int = 0):
+        self.cfg = cfg
+        self.transport = transport
+        self.rate_hz = rate_hz
+        self.assembler = RobotStateAssembler(cfg)
+        self._base: Optional[BaseState] = None
+        self._blind: Optional[BlindState] = None
+        self._seq = 0
+        feet0 = Legs(np.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                                 [-0.25, 0.15, 0], [-0.25, -0.15, 0]], float))
+        self.controller = ControllerNode(cfg, feet0, mpc_mode=mpc_mode, seed=seed)
+        transport.subscribe("/base_state", self._on_base)
+        transport.subscribe("/blind_state", self._on_blind)
+
+    def _on_base(self, msg: BaseState):
+        self._base = msg
+
+    def _on_blind(self, msg: BlindState):
+        self._blind = msg
+
+    def tick(self, ref_base_lin_vel, ref_base_ang_vel, now: float | None = None):
+        """One control tick; returns True when a command was published."""
+        # Refuse to act before the first state messages (reference :449-450).
+        if self._base is None or self._blind is None:
+            return False
+        t0 = time.perf_counter()
+        s = self.assembler.assemble(self._base, self._blind)
+        tau, des_q, des_qd = self.controller.control_tick(
+            lambda: s, np.asarray(ref_base_lin_vel), np.asarray(ref_base_ang_vel),
+            1.0 / self.rate_hz)
+        stamp = time.time() if now is None else now
+        self.transport.publish("/quadruped_pympc_torques",
+                               pack_control_signal(tau, self._seq, stamp))
+        self.transport.publish("/trajectory_generator",
+                               pack_trajectory_generator(self.controller, des_q,
+                                                         des_qd, self._seq, stamp))
+        self.transport.publish("/time_debug", TimeDebug(
+            time_mpc=self.controller._solve_ms / 1e3,
+            time_wbc=time.perf_counter() - t0))
+        self._seq += 1
+        return True
+
+    def shutdown(self):
+        self.controller.shutdown()
+
+
 def pack_control_signal(tau: Legs, seq_id: int, timestamp: float) -> ControlSignal:
     return ControlSignal(sequence_id=seq_id, timestamp=timestamp,
                          torques=np.asarray(tau.data, float).reshape(12).copy())
@@ -227,6 +334,8 @@ def pack_trajectory_generator(node: ControllerNode, des_q: Legs, des_qd: Legs,
         touch_down=np.asarray(
             node.wb.frg.last_reference_footholds.data, float).reshape(12).copy(),
         swing_period=np.full(4, stc.swing_period, float),
+        normal_force_max=np.full(4, cfg.mpc.grf_max, float),
+        normal_force_min=np.full(4, cfg.mpc.grf_min, float),
     )
 
 

@@ -97,3 +97,75 @@ def test_rclpy_node_guard():
         pytest.skip("rclpy installed; guard not exercised")
     with pytest.raises(ImportError, match="rclpy"):
         QuadrupedPyMPCRosNode(cfg)
+
+
+def _msg_fields(path):
+    """Field names of a .msg IDL file, in declaration order."""
+    fields = []
+    for line in path.read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        typ, name = line.split()
+        fields.append((typ, name))
+    return fields
+
+
+def test_msg_idl_matches_dataclasses():
+    """The shipped .msg IDL files (runtime/msgs/dls2_interface/msg/, the buildable
+    ROS2 interface package) are field-for-field twins of the dataclass schemas —
+    same names, same order (reference msgs_ws/src/dls2_interface/msg/*.msg)."""
+    import dataclasses
+    import pathlib
+
+    from quadruped_pympc_tamols_tpu.runtime import ros2_node as rn
+
+    msg_dir = (pathlib.Path(rn.__file__).parent / "msgs" / "dls2_interface" / "msg")
+    schemas = {
+        "Pose": rn.Pose, "Screw": rn.Screw, "BaseState": rn.BaseState,
+        "BlindState": rn.BlindState, "ControlSignal": rn.ControlSignal,
+        "TrajectoryGenerator": rn.TrajectoryGenerator, "TimeDebug": rn.TimeDebug,
+        "FeetContactState": rn.FeetContactState, "Imu": rn.Imu,
+    }
+    for name, cls in schemas.items():
+        idl = _msg_fields(msg_dir / f"{name}.msg")
+        dc = [f.name for f in dataclasses.fields(cls)]
+        assert [n for _, n in idl] == dc, f"{name}.msg fields diverge from dataclass"
+    # Every IDL file in the package has a schema (no orphan messages).
+    assert {p.stem for p in msg_dir.glob("*.msg")} == set(schemas)
+
+
+def test_node_to_node_loopback_walks():
+    """SimulatorNode <-> ControllerBridge over a LocalTransport: the full
+    dataclass-message transport path (BaseState/BlindState out of the physics
+    node, ControlSignal/TrajectoryGenerator back) walks the robot, exactly the
+    run_simulator.py <-> run_controller.py pairing of the reference (both sides
+    see ONLY messages — no shared state)."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.runtime import (ControllerBridge,
+                                                    LocalTransport,
+                                                    SimulatorNode)
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"mpc.sampling.num_samples": 500,
+                         "sim.visual_foothold_adaptation": "blind"})
+    bus = LocalTransport()
+    sim = SimulatorNode(cfg, bus, scene="flat", rate_hz=500.0)
+    ctl = ControllerBridge(cfg, bus, mpc_mode="inline", rate_hz=250.0)
+    try:
+        # Before any state message: the controller refuses to act.
+        assert ctl.tick(np.array([0.2, 0, 0]), np.zeros(3)) is False
+
+        x0 = sim.env.base_pos[0]
+        for t in range(1250):  # 2.5 s at 500 Hz, controller at 250 Hz
+            sim.step()
+            if t % 2 == 0:
+                assert ctl.tick(np.array([0.25, 0, 0]), np.zeros(3))
+            z = sim.env.base_pos[2]
+            assert z > 0.5 * cfg.sim.ref_z, f"fell at t={t * sim.sim_dt:.2f}s"
+        assert sim.env.base_pos[0] - x0 > 0.3, "loopback robot did not walk"
+        assert bus.published["/base_state"] == 1250
+        assert bus.published["/quadruped_pympc_torques"] == 625
+        assert bus.published["/time_debug"] == 625
+    finally:
+        ctl.shutdown()
