@@ -228,6 +228,13 @@ class SamplingParams:
     # explores around the correct fore/aft load distribution instead of
     # rediscovering it after every lift-off reset. False = reference parity.
     equilibrium_share: bool = False
+    # Host-side async pipelining (the sampling twin of the RTI prepare/feedback
+    # split): each tick DISPATCHES this tick's solve without blocking and
+    # consumes the PREVIOUS tick's (by now completed) result — one-tick-stale
+    # GRFs, same latest-available-solution semantics as the reference's
+    # thread/queue MPC modes (ros2/run_controller.py:231-303). Hides the
+    # device round trip behind the plant step on remote-attached TPUs.
+    pipelined: bool = False
     mppi_temperature: float = 1.0
     cem_elite: int = 10
     cem_sigma_min: float = 0.2
@@ -430,6 +437,17 @@ class SimParams:
     # 0 = the reference's v=a=0 liftoff clamp; ~1.0 helps sparse terrain where the
     # toe otherwise drags across the lift-off stone's far rim.
     swing_liftoff_boost: float = 0.0
+    # Lower the SWING target below the planned foothold z by this much [m]. The
+    # TAMOLS foothold z deliberately carries the reference's sensor offsets
+    # (+0.02 FastHeightMap + 0.005 candidate lift, visual_foothold_adaptation.py
+    # :31-35,:192) so the swing curve ends ~2.5 cm ABOVE the physical surface;
+    # with the timer-driven stance handoff the foot is then still airborne when
+    # the MPC starts loading it — measured on the stepping-stones course as a
+    # nose-dive on late-contact front legs (a crawl's support triangle has no
+    # redundancy). Overdriving the target presses the foot into real contact
+    # before the timer flips. Applied to the swing/IK target only, never to the
+    # MPC foothold.
+    touchdown_overdrive: float = 0.0
     reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
     reflex_max_step_height: float = 0.175  # 0.5*hip_height
     velocity_modulator: bool = True

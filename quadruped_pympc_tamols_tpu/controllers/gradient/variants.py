@@ -277,7 +277,7 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
     hw_x, hw_y = gp.foothold_box_halfwidth
     use_stab = gp.use_static_stability or gp.use_zmp_stability
-    support_residual = make_support_residual(cfg, srbd)
+    support_residual, n_stab = make_support_residual(cfg, srbd)
     q = np.concatenate([q_diag_gradient(), np.full(12, 300.0, np.float32)])
     r = np.concatenate([np.full(12, 1e-4, np.float32),  # foot velocity cost
                         r_diag_gradient(cfg.robot.name)])
@@ -311,10 +311,10 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         if use_stab:
             # Stability over the OPTIMIZED foot states, not the fixed reference.
             rows.append(support_residual(x[:12], u[12:], contact,
-                                         x[12:].reshape(4, 3))[None])
+                                         x[12:].reshape(4, 3)))
         return jnp.concatenate(rows)
 
-    n_ineq = 24 + (16 if gp.use_foothold_constraints else 0) + (1 if use_stab else 0)
+    n_ineq = 24 + (16 if gp.use_foothold_constraints else 0) + (n_stab if use_stab else 0)
     # Foothold-box and stability rows are SOFT (acados slacks them with zl/Zl =
     # 1000/1, centroidal_nmpc_nominal.py:147-163); friction cones stay hard.
     soft = np.zeros(n_ineq, bool)
@@ -325,30 +325,79 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
 
 def make_support_residual(cfg: Config, srbd: SRBDParams):
-    """Support-polygon stability residual (reference
-    centroidal_nmpc_nominal.py:277-381):
+    """Support-polygon stability residuals (reference
+    centroidal_nmpc_nominal.py:277-381 + per-stage activation :880-985):
 
-    * use_static_stability: the CoM xy must stay within ``margin`` of the stance
-      support segment during 2-stance phases;
-    * use_zmp_stability: same for the ZMP approx p = com_xy - (com_z/g) * a_xy with
+    * use_static_stability: the CoM xy is the support point;
+    * use_zmp_stability: the ZMP approx p = com_xy - (com_z/g) * a_xy with
       a_xy = sum(c_i f_xy,i)/m (linear in the forces given the state).
 
-    The trot/pace/crawl margins come from config (config.py:152-155); with 3+ feet in
-    stance the row is inactive (the polygon case adds little for the gaits used).
-    Returns ``residual(x, grf12, contact, feet) -> scalar (<= 0 when satisfied)``."""
+    Two static shapes, selected by the (jit-static) gait type:
+
+    * trot/pace/bound — ONE row: during 2-stance phases the support point must stay
+      within ``margin`` of the stance support segment (the reference's two-sided
+      diagonal band, :914-934);
+    * crawl gaits — SIX rows, one per foot pair (4 perimeter edges + 2 diagonals,
+      :938-969): during 3-stance phases the support point must sit at least
+      ``margin`` INSIDE each edge of the stance triangle ("inside" = the side
+      holding the stance centroid). This is what makes a statically-walked crawl
+      pre-shift the CoM before each lift-off; without it the trunk tips about the
+      new support edge the moment the fourth leg leaves (measured on the
+      stepping-stones deck: roll-over within one crawl cycle).
+
+    The trot/pace/crawl margins come from config (config.py:263-267). Full stance
+    deactivates every row (reference :890-908). Returns ``(residual_fn, n_rows)``
+    with ``residual_fn(x, grf12, contact, feet) -> (n_rows,) (<= 0 when satisfied)``.
+    """
     gp = cfg.mpc.gradient
+    gait = int(cfg.gait_params.gait_type)
+    from ...config import GaitType
+    crawl_like = gait in (int(GaitType.CIRCULARCRAWL), int(GaitType.BFDIAGONALCRAWL),
+                          int(GaitType.BACKDIAGONALCRAWL),
+                          int(GaitType.FRONTDIAGONALCRAWL))
     margin = {0: gp.trot_stability_margin, 1: gp.pace_stability_margin}.get(
-        int(cfg.gait_params.gait_type), gp.crawl_stability_margin)
+        gait, gp.crawl_stability_margin)
     m_robot = float(srbd.mass)
     grav = float(srbd.gravity)
 
-    def residual(x, grf12, contact, feet):
-        # Support point: CoM xy, or ZMP via the linear-in-u approximation.
+    def support_point(x, grf12, contact):
         p = x[0:2]
         if gp.use_zmp_stability:
             a_xy = jnp.sum(grf12.reshape(4, 3)[:, :2] * contact[:, None],
                            axis=0) / m_robot
             p = p - (x[2] / grav) * a_xy
+        return p
+
+    if crawl_like:
+        # FL-FR, FR-RR, RR-RL, RL-FL perimeter + FL-RR, FR-RL diagonals
+        # (reference constraint order :949-961).
+        pairs = ((0, 1), (1, 3), (3, 2), (2, 0), (0, 3), (1, 2))
+
+        def residual(x, grf12, contact, feet):
+            p = support_point(x, grf12, contact)
+            n_st = jnp.sum(contact)
+            cen = jnp.sum(feet[:, :2] * contact[:, None], axis=0) \
+                / jnp.maximum(n_st, 1.0)
+            three_stance = (n_st > 2.5) & (n_st < 3.5)
+            rows = []
+            for i, j in pairs:
+                a, b = feet[i, :2], feet[j, :2]
+                e = b - a
+                nvec = jnp.array([-e[1], e[0]]) / jnp.maximum(
+                    jnp.linalg.norm(e), 1e-6)
+                sd_p = jnp.dot(nvec, p - a)
+                # Orient "inside" toward the stance centroid (strictly interior
+                # for any non-degenerate stance triangle). sign() carries no
+                # gradient — each row linearizes as a fixed half-plane.
+                sgn = jnp.where(jnp.dot(nvec, cen - a) >= 0.0, 1.0, -1.0)
+                act = (contact[i] * contact[j] > 0.5) & three_stance
+                rows.append(jnp.where(act, margin - sgn * sd_p, -1.0))
+            return jnp.stack(rows)
+
+        return residual, len(pairs)
+
+    def residual(x, grf12, contact, feet):
+        p = support_point(x, grf12, contact)
         # Distance to the 2-stance support segment, selected by contact masks.
         def seg_dist(i, j):
             a, b = feet[i, :2], feet[j, :2]
@@ -368,9 +417,9 @@ def make_support_residual(cfg: Config, srbd: SRBDParams):
         res = jnp.float32(-1.0)  # inactive by default (3+ stance feet)
         for i, j, mask in pair_masks:
             res = jnp.where(mask > 0.5, seg_dist(i, j) - margin, res)
-        return res
+        return res[None]
 
-    return residual
+    return residual, 1
 
 
 def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
@@ -379,7 +428,7 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     gp = cfg.mpc.gradient
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
     use_stab = gp.use_static_stability or gp.use_zmp_stability
-    support_residual = make_support_residual(cfg, srbd)
+    support_residual, n_stab = make_support_residual(cfg, srbd)
 
     def dynamics(x, u, feet, contact, dt, wk):
         d = fd(x, feet, u.reshape(4, 3), contact, srbd)
@@ -389,14 +438,14 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         cone = _cone_residual(u, contact, fz_max, mu, grf_min)
         if not use_stab:
             return cone
-        return jnp.concatenate([cone, support_residual(x, u, contact, feet)[None]])
+        return jnp.concatenate([cone, support_residual(x, u, contact, feet)])
 
-    n_ineq = 25 if use_stab else 24
-    # The stability row is SOFT (acados slacks it, centroidal_nmpc_nominal.py:147-163).
+    n_ineq = 24 + (n_stab if use_stab else 0)
+    # Stability rows are SOFT (acados slacks them, centroidal_nmpc_nominal.py:147-163).
     soft = None
     if use_stab:
         soft = np.zeros(n_ineq, bool)
-        soft[24] = True
+        soft[24:] = True
     return VariantSpec("nominal", 12, 12, dynamics, stage_ineq, n_ineq,
                        q_diag_gradient(), r_diag_gradient(cfg.robot.name),
                        grfs_of=lambda u, x: u, soft_mask=soft)

@@ -87,13 +87,22 @@ class SRBDControllerInterface:
                     state_current, ref_state, contact_sequence, cur, prev,
                     phase_signal if phase_signal is not None else np.zeros(4),
                     self.best_sample_freq, optimize_swing)
-                out = jax.device_get(out)  # one batched fetch (remote-TPU latency)
-                if optimize_swing:
-                    self.best_sample_freq = float(out.best_freq)
             else:
                 out = self.controller.compute_control(
                     state_current, ref_state, contact_sequence, cur, prev)
-                out = jax.device_get(out)
+            if self.cfg.mpc.sampling.pipelined:
+                # Async pipelining (config sampling.pipelined): hand back the
+                # PREVIOUS tick's solution (its futures have completed during the
+                # plant step) and leave this tick's solve in flight. The warm
+                # start / PRNG state on device already advanced correctly —
+                # only the host-visible result is one tick stale.
+                prev_out = getattr(self, "_inflight", None)
+                self._inflight = out
+                if prev_out is not None:
+                    out = prev_out
+            out = jax.device_get(out)  # one batched fetch (remote-TPU latency)
+            if self.cfg.mpc.optimize_step_freq and optimize_swing:
+                self.best_sample_freq = float(out.best_freq)
             grfs = np.asarray(out.grfs)
             footholds = np.stack([
                 np.asarray(ref_state[f"ref_foot_{leg}"]).reshape(3)
@@ -132,6 +141,7 @@ class SRBDControllerInterface:
     def reset(self):
         self.controller.reset()
         self.best_sample_freq = self.cfg.gait_params.step_freq
+        self._inflight = None
 
 
 class SRBDBatchedControllerInterface:

@@ -271,7 +271,11 @@ class WBInterface:
                     period[leg] = max(stc.swing_period - hm, 1e-3)
                     t_eff[leg] = t_eff[leg] - hm
             swing_mask = (np.asarray(self.current_contact) == 0).astype(np.float32)
-            td = np.asarray(nmpc_footholds.data, np.float32)
+            td = np.asarray(nmpc_footholds.data, np.float32).copy()
+            # Swing-target overdrive (see config.sim.touchdown_overdrive): aim the
+            # curve end slightly below the planned foothold so contact is made
+            # before the gait timer declares stance. MPC footholds are untouched.
+            td[:, 2] -= self.cfg.sim.touchdown_overdrive
             # Pure host numpy: this is ~1k scalar FLOPs per tick; the jitted twin of
             # the same math measured ~1.4 ms of DEVICE time (tiny-shape op chains are
             # latency-bound on TPU) plus a host round trip. See swing_refs_np.
@@ -317,7 +321,9 @@ class WBInterface:
                         J=jac[leg],
                         J_dot=np.asarray(feet_jac_dot[leg_name]),
                         lift_off=self.frg.lift_off_positions[leg_name],
-                        touch_down=np.asarray(nmpc_footholds[leg_name]),
+                        touch_down=(np.asarray(nmpc_footholds[leg_name]).reshape(3)
+                                    - np.array([0.0, 0.0,
+                                                self.cfg.sim.touchdown_overdrive])),
                         foot_pos=np.asarray(feet_pos[leg_name]),
                         foot_vel=np.asarray(feet_vel[leg_name]),
                         h=np.asarray(legs_qfrc_bias[leg_name]).reshape(3),

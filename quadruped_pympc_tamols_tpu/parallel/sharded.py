@@ -170,16 +170,20 @@ def make_sharded_sampling_solver(cfg: Config, mesh: Mesh, num_samples: int | Non
 
 
 def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
-                        num_samples: int = 240):
+                        num_samples: int = 240, terrain: str | None = None):
     """The full multi-chip 'training step': a fleet of closed-loop MPC scenarios.
 
     Scenarios shard over the 'scenario' mesh axis (data-parallel fan-out); within
     each scenario the sampling batch shards over the 'sample' axis (tensor-parallel
     analogue) with pmin/psum winner reduction; fleet-wide tracking metrics reduce
-    with psum over both axes. Returns (step, init) where
-    ``step(states, cmd_vels) -> (states', fleet_metrics)`` is jitted over the mesh.
+    with psum over both axes. With ``terrain`` ("boxes"/"stairs") every scenario
+    carries its own procedural heightfield and runs the fused TAMOLS scorer on
+    per-leg sensed grids each tick (VERDICT r2 ask #3 — the rough-terrain fleet).
+    Returns (step, init) where ``step(states, cmd_vels) -> (states',
+    fleet_metrics)`` is jitted over the mesh.
     """
-    from .scenario_engine import ScenarioState, init_scenario_state
+    from .scenario_engine import (ScenarioState, init_scenario_state,
+                                  make_terrain_adapter, make_terrain_generator)
 
     n_sample = mesh.shape["sample"]
     n_scen = mesh.shape["scenario"]
@@ -208,6 +212,8 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
     n_sub = max(1, int(round(dt_ctrl / cfg.sim.dt)))
     dt_sub = dt_ctrl / n_sub
     dts = cfg.mpc.dts()
+    adapt = make_terrain_adapter(cfg) if terrain is not None else None
+    terrain_gen = make_terrain_generator(terrain) if terrain is not None else None
 
     def scenario_tick(s: ScenarioState, cmd_vel):
         phase = jnp.mod(s.phase + dt_ctrl * gait.step_freq, 1.0)
@@ -223,8 +229,17 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
         ref_feet = raibert_footholds(s.x[0:3], s.x[6:9], s.x[3:5], cmd_vel[:2], hips,
                                      jnp.zeros(4), gait.stance_time,
                                      cfg.robot.hip_height, cfg.sim.ref_z)
+        if adapt is not None:
+            adapted, td_z = adapt(s.terrain, ref_feet, hips, s.x[0:3], s.x[3:6],
+                                  s.x[8], cur, s.feet)
+            ref_feet = jnp.where(cur[:, None] == 0.0, adapted, ref_feet)
+        else:
+            td_z = jnp.zeros(4, jnp.float32)
         ref12 = jnp.concatenate([jnp.asarray([0.0, 0.0, cfg.sim.ref_z], jnp.float32),
                                  cmd_vel, jnp.zeros(6, jnp.float32)])
+        if adapt is not None:
+            ground = jnp.sum(s.feet[:, 2] * cur) / jnp.maximum(jnp.sum(cur), 1.0)
+            ref12 = ref12.at[2].add(ground)
 
         # Warm-start reset + sharded sampling iteration (pmin/psum over 'sample').
         keep = jnp.repeat(~liftoff_edge, Pn // 4).astype(jnp.float32)
@@ -245,10 +260,10 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
                                       cfg.sim.step_height, liftoff, ref_feet)
         touchdown_edge = (prev == 0.0) & (cur == 1.0)
         feet = jnp.where(cur[:, None] == 0.0, pos, s.feet)
-        feet = jnp.where(touchdown_edge[:, None], ref_feet.at[:, 2].set(0.0), feet)
+        feet = jnp.where(touchdown_edge[:, None], ref_feet.at[:, 2].set(td_z), feet)
 
         s2 = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
-                           SamplingState(new_params, key, new_sigma))
+                           SamplingState(new_params, key, new_sigma), s.terrain)
         vel_err = jnp.linalg.norm(x_next[3:5] - cmd_vel[:2])
         return s2, (vel_err, best_cost)
 
@@ -264,7 +279,8 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
 
     def init(seed: int = 0):
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
-        states = jax.vmap(lambda k: init_scenario_state(cfg, Pn, k))(keys)
+        states = jax.vmap(lambda k: init_scenario_state(cfg, Pn, k,
+                                                        terrain_gen))(keys)
         return states
 
     return jax.jit(_step), init, Pn

@@ -31,7 +31,14 @@ from .control_bus import ControlBus, pack_control_block, unpack_control_block
 class ControllerNode:
     def __init__(self, cfg: Config, initial_feet_pos: Legs, mpc_mode: str = "inline",
                  bus_name: str = "/qpympc_control", seed: int = 0):
-        assert mpc_mode in ("inline", "thread", "shared_memory")
+        assert mpc_mode in ("inline", "pipelined", "thread", "shared_memory")
+        if mpc_mode == "pipelined":
+            # Async-dispatch pipelining for the SAMPLING path (the RTI split's
+            # twin, config sampling.pipelined): solves run inline but one tick
+            # deep — dispatch now, consume last tick's result.
+            from ..config import replace_config
+            cfg = replace_config(cfg, **{"mpc.sampling.pipelined": True})
+            mpc_mode = "inline"
         self.cfg = cfg
         self.mpc_mode = mpc_mode
         self.wb = WBInterface(cfg, initial_feet_pos)

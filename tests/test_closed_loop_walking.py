@@ -46,6 +46,20 @@ def test_gradient_mpc_walks():
     _assert_walking(cfg, hist, vel, duration)
 
 
+def test_sampling_pipelined_walks():
+    """Async-dispatch pipelining (sampling.pipelined / ControllerNode 'pipelined'
+    mode): each tick consumes the PREVIOUS tick's solution while this tick's
+    solve is in flight — the sampling twin of the RTI split. One-tick-stale
+    GRFs at 100 Hz must still walk the trot."""
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 2000,
+                                 "mpc.sampling.pipelined": True,
+                                 "sim.visual_foothold_adaptation": "blind"})
+    duration, vel = 3.0, (0.3, 0.0, 0.0)
+    _, hist = _walk(cfg, duration, vel)
+    _assert_walking(cfg, hist, vel, duration)
+
+
 def test_stand_still_stays_put():
     cfg = make_config("aliengo", mpc_type="sampling")
     cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 1000,

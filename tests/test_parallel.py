@@ -67,6 +67,53 @@ def test_multichip_fleet_step(mesh):
     assert np.all(xs[:, 2] > 0.1), "fleet scenarios collapsed"
 
 
+def test_multichip_terrain_fleet_walks_boxes(mesh):
+    """VERDICT r2 ask #3: the 8-device fleet step runs ROUGH-TERRAIN scenarios —
+    per-scenario procedural heightfields as pytree state, per-leg heightmap
+    sensing + the fused TAMOLS scorer adapting footholds every tick, touch-downs
+    landing on the surface — and the psum fleet metrics stay finite while the
+    fleet makes forward progress."""
+    cfg = make_config("aliengo", mpc_type="sampling")
+    step, init, P = make_multichip_step(cfg, mesh, scenarios_per_device=2,
+                                        num_samples=48, terrain="boxes")
+    states = init(seed=0)
+    B = 4 * 2
+    terr = np.asarray(states.terrain)
+    assert terr.shape[0] == B and terr.shape[1:] != (1, 1)
+    assert np.any(terr > 0.015), "procedural terrain is flat"
+    assert not np.allclose(terr[0], terr[1]), "scenarios share one heightfield"
+    cmd = jnp.tile(jnp.asarray([0.25, 0.0, 0.0], jnp.float32), (B, 1))
+    x0 = np.asarray(states.x)[:, 0].copy()
+    for _ in range(60):  # 0.6 s of closed loop at 100 Hz (standing start)
+        states, metrics = step(states, cmd)
+    m = np.asarray(metrics)
+    assert m.shape == (2,) and np.all(np.isfinite(m))
+    xs = np.asarray(states.x)
+    assert np.all(np.isfinite(xs))
+    assert np.all(xs[:, 2] > 0.1), "fleet scenarios collapsed"
+    assert np.mean(xs[:, 0] - x0) > 0.02, "fleet made no forward progress"
+    feet = np.asarray(states.feet)
+    # At least one scenario planted a foot on raised terrain (TAMOLS-adapted
+    # touch-down took the surface height, not z=0).
+    assert np.max(feet[..., 2]) > 0.015, "no touch-down ever landed on a box"
+
+
+def test_terrain_generators_shapes():
+    from quadruped_pympc_tamols_tpu.parallel import make_terrain_generator
+
+    for kind in ("boxes", "stairs"):
+        gen = make_terrain_generator(kind)
+        h = np.asarray(gen(jax.random.PRNGKey(1)))
+        assert h.shape == (64, 64)
+        assert np.all(h >= 0.0) and np.max(h) > 0.01
+        # Spawn neighbourhood stays flat (scenarios start standing at x=0).
+        assert np.all(h[:6] == 0.0)  # rows cover x < 0
+    gen = make_terrain_generator("boxes")
+    h1 = np.asarray(gen(jax.random.PRNGKey(1)))
+    h2 = np.asarray(gen(jax.random.PRNGKey(2)))
+    assert not np.allclose(h1, h2), "terrain does not vary with the key"
+
+
 def test_graft_entry_points():
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__", Path(__file__).parent.parent / "__graft_entry__.py")
