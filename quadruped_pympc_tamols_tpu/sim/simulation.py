@@ -171,6 +171,11 @@ def run_simulation(
                 if not viewer.is_running():
                     break
                 if t * env.sim_dt >= next_sync:
+                    # Live debug overlays (reference simulation.py:713-764):
+                    # GRF arrows, foothold + swing-target markers into user_scn.
+                    from .video import draw_overlays
+                    viewer.user_scn.ngeom = 0
+                    draw_overlays(viewer.user_scn, env, wrapper)
                     viewer.sync()
                     next_sync = t * env.sim_dt + 1.0 / 30.0
             if x[2] < 0.5 * cfg.sim.ref_z or abs(x[6]) > 0.8 or abs(x[7]) > 0.8:

@@ -32,6 +32,55 @@ def rendering_available() -> bool:
         return False
 
 
+def draw_overlays(scene, env, wrapper):
+    """Inject the debug overlays into a MuJoCo scene: GRF arrows at stance feet,
+    blue foothold markers, green swing-target markers (reference
+    quadruped_utils.py:25-98 + simulation.py:713-764). Works on both an offscreen
+    Renderer's scene and a live viewer's ``user_scn`` (callers reset
+    ``user_scn.ngeom`` to the model count before each sync)."""
+    import mujoco
+
+    if wrapper is None:
+        return
+
+    def add_marker(kind, pos, size, rgba):
+        if scene.ngeom >= scene.maxgeom:
+            return
+        g = scene.geoms[scene.ngeom]
+        mujoco.mjv_initGeom(g, kind, np.asarray(size, np.float64),
+                            np.asarray(pos, np.float64), np.eye(3).flatten(),
+                            np.asarray(rgba, np.float32))
+        scene.ngeom += 1
+
+    grfs = getattr(wrapper, "nmpc_GRFs", None)
+    feet = env.feet_pos()
+    if grfs is not None:
+        for leg in range(4):
+            f = np.asarray(grfs.data)[leg]
+            p0 = np.asarray(feet.data)[leg]
+            p1 = p0 + f / 500.0  # N -> m arrow length
+            if np.linalg.norm(f) > 1.0 and scene.ngeom < scene.maxgeom:
+                g = scene.geoms[scene.ngeom]
+                mujoco.mjv_initGeom(g, mujoco.mjtGeom.mjGEOM_ARROW,
+                                    np.zeros(3), np.zeros(3), np.eye(3).flatten(),
+                                    np.array([1, 0.2, 0.2, 0.8], np.float32))
+                mujoco.mjv_connector(g, mujoco.mjtGeom.mjGEOM_ARROW, 0.005, p0, p1)
+                scene.ngeom += 1
+    fh = getattr(wrapper, "nmpc_footholds", None)
+    if fh is not None:
+        for leg in range(4):
+            add_marker(mujoco.mjtGeom.mjGEOM_SPHERE, np.asarray(fh.data)[leg],
+                       [0.02, 0, 0], [0.2, 0.4, 1.0, 0.7])
+    wb = getattr(wrapper, "wb_interface", None)
+    if wb is not None:
+        # Swing tracking targets (only meaningful for swing legs).
+        des = np.asarray(wb.last_des_foot_pos.data)
+        for leg in range(4):
+            if wb.current_contact[leg] == 0:
+                add_marker(mujoco.mjtGeom.mjGEOM_SPHERE, des[leg],
+                           [0.012, 0, 0], [0.2, 1.0, 0.3, 0.8])
+
+
 class VideoRecorder:
     """Fixed-fps offscreen episode recorder with GRF/foothold overlays.
 
@@ -47,7 +96,6 @@ class VideoRecorder:
                  height: int = 480, camera: str | int = -1):
         import mujoco
 
-        self._mujoco = mujoco
         self.env = env
         self.path = path
         self.fps = fps
@@ -56,48 +104,6 @@ class VideoRecorder:
         self.frames: list[np.ndarray] = []
         self._next_t = 0.0
         self._t0 = None
-
-    # -- overlays (reference quadruped_utils.py:25-98) -----------------------
-    def _add_marker(self, scene, kind, pos, size, rgba, mat=None):
-        mujoco = self._mujoco
-        if scene.ngeom >= scene.maxgeom:
-            return
-        g = scene.geoms[scene.ngeom]
-        mujoco.mjv_initGeom(
-            g, kind, np.asarray(size, np.float64),
-            np.asarray(pos, np.float64),
-            np.eye(3).flatten() if mat is None else np.asarray(mat, np.float64).flatten(),
-            np.asarray(rgba, np.float32))
-        scene.ngeom += 1
-
-    def _overlays(self, scene, wrapper):
-        mujoco = self._mujoco
-        if wrapper is None:
-            return
-        grfs = getattr(wrapper, "nmpc_GRFs", None)
-        feet = self.env.feet_pos()
-        if grfs is not None:
-            for leg in range(4):
-                f = np.asarray(grfs.data)[leg]
-                p0 = np.asarray(feet.data)[leg]
-                scale = 1.0 / 500.0  # N -> m arrow length
-                p1 = p0 + f * scale
-                if np.linalg.norm(f) > 1.0:
-                    if scene.ngeom < scene.maxgeom:
-                        g = scene.geoms[scene.ngeom]
-                        mujoco.mjv_initGeom(g, mujoco.mjtGeom.mjGEOM_ARROW,
-                                            np.zeros(3), np.zeros(3),
-                                            np.eye(3).flatten(),
-                                            np.array([1, 0.2, 0.2, 0.8], np.float32))
-                        mujoco.mjv_connector(g, mujoco.mjtGeom.mjGEOM_ARROW, 0.005,
-                                             p0, p1)
-                        scene.ngeom += 1
-        fh = getattr(wrapper, "nmpc_footholds", None)
-        if fh is not None:
-            for leg in range(4):
-                self._add_marker(scene, mujoco.mjtGeom.mjGEOM_SPHERE,
-                                 np.asarray(fh.data)[leg], [0.02, 0, 0],
-                                 [0.2, 0.4, 1.0, 0.7])
 
     # -- capture --------------------------------------------------------------
     def maybe_capture(self, sim_time: float, wrapper=None) -> bool:
@@ -111,7 +117,7 @@ class VideoRecorder:
             self.renderer.update_scene(self.env.data, camera=self.camera)
         else:
             self.renderer.update_scene(self.env.data)
-        self._overlays(self.renderer.scene, wrapper)
+        draw_overlays(self.renderer.scene, self.env, wrapper)
         self.frames.append(self.renderer.render().copy())
         return True
 
