@@ -90,48 +90,57 @@ def test_reference_course_uphill_with_tamols():
     assert res.distance > 2.0, f"only travelled {res.distance:.2f} m (uphill stall)"
 
 
-def test_stone_field_traverse_lands_on_stones():
-    """Plum-blossom stone-field traversal (the reference's headline TAMOLS demo,
+def _stone_field_cfg(**extra):
+    return make_config("aliengo", mpc_type="nominal",
+                       **{"sim.visual_foothold_adaptation": "tamols",
+                          "sim.velocity_modulator": False,
+                          "mpc.gradient.use_zmp_stability": True,
+                          "tamols.heightmap_cols": 13,
+                          "tamols.support_margin": 0.015,
+                          "tamols.trigger_phase": 0.05,
+                          "tamols.lateral_margin": 0.05,
+                          "tamols.weight_deviation": 6.0,
+                          "tamols.search_radius_forward": 0.2,
+                          "tamols.search_radius_back": 0.1,
+                          "tamols.foot_separation": 0.1,
+                          **extra})
+
+
+def test_stone_field_crossed_end_to_end():
+    """Plum-blossom stone-field CROSSING (the reference's headline TAMOLS demo,
     docs/STEPPING_STONES_TERRAIN.md:9-46). Spawned on the deck before the field,
-    the nominal MPC + TAMOLS with the sparse-terrain constraint set (full-foot
-    support mask, lateral lane, foot separation, anisotropic search ellipse)
-    and a pulsed, centerline-steered velocity schedule walks INTO the field
-    landing on stone interiors — measured on this config: 20.7 s upright,
-    1.43 m progress, 67% of in-field touchdowns on stone tops, 94% clean
-    (stone interior or rim-free deck). Thresholds carry wide margins. The
-    same stack on the real TPU backend has reached 3.1 m into the 4 m field
-    (x=8.3 of 4.9-8.9); full-course crossing remains roadmap (README)."""
+    the nominal MPC + TAMOLS (sparse-terrain constraint set: full-foot support
+    mask, lateral lane, foot separation, anisotropic search ellipse) + the ZMP
+    band stability constraint crosses ALL TEN stone columns, the flat exit, and
+    starts down the downhill: measured on this config 55 s upright, x 4.35 ->
+    10.54, 208 touchdowns at 78% on stone interiors / 96% clean. The ZMP band
+    (reference centroidal_nmpc_nominal.py:914-921) is what killed round 2's
+    roll-oscillation failure mode — roll stays within +-0.07 rad through the
+    alternating narrow/wide stances. Steady 0.15 m/s with centerline steering
+    (no pulsing needed). Thresholds below carry margin at 45 s."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
     ang = np.radians(15.0)
     z_top = 3.0 * np.sin(ang)
-    x_f1 = 1.0 + 3.0 * np.cos(ang) + 1.0  # stone field start
+    x_f1 = 1.0 + 3.0 * np.cos(ang) + 1.0  # stone field start (4.898)
     stones = np.array([(x_f1 + 0.2 + 0.4 * ix, y)
                        for ix in range(10)
                        for y in ((-0.4, 0.0, 0.4) if ix % 2 == 0
                                  else (-0.2, 0.2, 0.6))])
 
-    cfg = make_config("aliengo", mpc_type="nominal",
-                      **{"sim.visual_foothold_adaptation": "tamols",
-                         "sim.velocity_modulator": False,
-                         "tamols.heightmap_cols": 13,
-                         "tamols.support_margin": 0.015,
-                         "tamols.trigger_phase": 0.05,
-                         "tamols.lateral_margin": 0.05,
-                         "tamols.weight_deviation": 6.0,
-                         "tamols.search_radius_forward": 0.2,
-                         "tamols.search_radius_back": 0.1,
-                         "tamols.foot_separation": 0.1})
+    cfg = _stone_field_cfg()
 
     class TDProbe:
         def __init__(self):
             self.prev = np.ones(4)
             self.dstones = []
+            self.max_x = 0.0
 
         def log(self, t, env, wrapper):
             c = wrapper.wb_interface.current_contact
             feet = np.asarray(env.feet_pos().data)
+            self.max_x = max(self.max_x, float(env.base_pos[0]))
             for leg in range(4):
                 if self.prev[leg] == 0 and c[leg] == 1:
                     f = feet[leg]
@@ -142,20 +151,21 @@ def test_stone_field_traverse_lands_on_stones():
 
     def vel(t, base_pos):
         vy = float(np.clip(-0.5 * base_pos[1], -0.1, 0.1))  # hold the centerline
-        return (0.3, vy) if (t % 2.5) < 0.8 else (0.0, vy)
+        return (0.15, vy)
 
     probe = TDProbe()
-    res = run_simulation(cfg, num_episodes=1, episode_duration_s=12.0,
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=45.0,
                          ref_base_lin_vel=vel, scene="stepping_stones",
                          seed=0, spawn=(4.35, 0.0, z_top), logger=probe)[0]
-    assert res.duration > 11.0, f"fell at {res.duration:.1f}s ({res.distance:.2f} m)"
-    assert res.distance > 0.9, f"stalled: only {res.distance:.2f} m"
+    assert res.duration > 44.0, f"fell at {res.duration:.1f}s ({res.distance:.2f} m)"
+    assert probe.max_x > 9.0, \
+        f"field not crossed: reached x={probe.max_x:.2f} of 8.9 (field end)"
     d = np.asarray(probe.dstones)
-    assert len(d) >= 10, "too few in-field touchdowns to judge"
+    assert len(d) >= 100, "too few in-field touchdowns to judge"
     clean = np.mean((d <= 0.11) | (d >= 0.19))
     on_stone = np.mean(d <= 0.11)
-    assert clean >= 0.8, f"rim landings: only {clean:.0%} clean"
-    assert on_stone >= 0.4, f"only {on_stone:.0%} of touchdowns on stone interiors"
+    assert clean >= 0.85, f"rim landings: only {clean:.0%} clean"
+    assert on_stone >= 0.6, f"only {on_stone:.0%} of touchdowns on stone interiors"
 
 
 def test_sampling_reflex_trips_on_bar_and_recovers():
