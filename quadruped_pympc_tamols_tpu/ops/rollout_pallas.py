@@ -99,17 +99,49 @@ class IterationOutputs(NamedTuple):
     ext: object  # (GT, 24) winner step-0 [grf12, next_state12] per tile, or None
 
 
+class FusedIterationOutputs(NamedTuple):
+    """GLOBAL optimizer result, combined across tiles inside the kernel
+    (fuse_combine=True): the cross-tile reduction rides the sequential TPU grid
+    in VMEM instead of a tail of tiny XLA ops after the kernel."""
+
+    costs: object  # (GT,) per-tile min costs (observability only)
+    best_cost: object  # scalar: global min cost (random_sampling) / beta (mppi)
+    winner: object  # (P,) global argmin params (random_sampling) / softmax mean
+    ext: object  # (24,) winner step-0 [grf12, next_state12], or None
+    ecosts: object  # (GT, K) per-tile elite costs, or None (cem_mppi)
+    eparams: object  # (GT, K, P) per-tile elite params, or None (cem_mppi)
+
+
 class PallasIterationFn(NamedTuple):
     fn: object
     num_tiles: int  # total tiles (groups * tiles_per_group)
     tiles_per_group: int
     P: int
     samples_per_group: int
+    fused: bool = False
+
+
+def advance_seed(key):
+    """(kernel seed int32, advanced key) with a 2-op LCG on the raw key words.
+
+    Replaces jax.random.split + randint — ~15 sequential threefry ops, a
+    measurable share of the solve's fixed overhead (BENCH_r02 roofline: the
+    ~0.13 ms N-independent intercept) — for per-solve kernel seeding. Stream
+    quality comes from the on-core PRNG that re-hashes ``seed + tile_id``
+    (pltpu.prng_seed), not from the seed sequence, so an LCG walk over the key
+    words is adequate for exploration noise."""
+    typed = jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+    kd = jax.random.key_data(key) if typed else key
+    seed = jax.lax.bitcast_convert_type(kd.ravel()[-1], jnp.int32)
+    new_kd = kd * np.uint32(747796405) + np.uint32(2891336453)
+    new_key = jax.random.wrap_key_data(new_kd) if typed else new_kd
+    return seed, new_key
 
 
 def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                           interpret: bool = False, method: str = "random_sampling",
-                          num_groups: int = 1, tile: int = TILE) -> PallasIterationFn:
+                          num_groups: int = 1, tile: int = TILE,
+                          fuse_combine: bool = False) -> PallasIterationFn:
     """Build the fused sampling iteration for ``num_groups`` candidate groups.
 
     Returns a jitted function
@@ -122,11 +154,23 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     i = g*T + t. The sample mixture / incumbent column indexing is GLOBAL over all
     G * samples_per_group samples, matching the XLA solvers' partition of one
     (P, N) noise matrix into per-frequency groups (gait_adaptive.py:196-202).
+
+    With ``fuse_combine=True`` (single-group only) the CROSS-TILE optimizer
+    reduction also happens inside the kernel and the function returns
+    FusedIterationOutputs: TPU Pallas grids execute sequentially, so an output
+    block whose index map is constant stays resident in VMEM across the whole
+    grid and acts as an accumulator — tile t merges its (cmin, winner, ext) or
+    (beta, Z, S) partials into it with a handful of vector ops, and the block is
+    flushed to HBM once. This removes the post-kernel argmin / one-hot-matmul /
+    log-sum-exp combine (a tail of ~10 tiny XLA ops whose launch latency
+    dominated the solve's fixed overhead at production sample counts).
     """
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable")
     if method not in ("random_sampling", "mppi", "cem_mppi"):
         raise ValueError(f"unknown sampling method {method!r}")
+    if fuse_combine and num_groups != 1:
+        raise ValueError("fuse_combine supports a single group only")
     sp = cfg.mpc.sampling
     H = cfg.mpc.horizon
     P_leg = num_params_per_leg(sp.parametrization, H, sp.num_splines)
@@ -280,7 +324,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         cost = jnp.where(bad, 1.0e6, cost) + off_ref[0, 0, 0]
 
         refs = list(out_refs)
-        cost_out, win_out = refs[0], refs[1]
+        cost_out = refs[0]
         cflat = cost.reshape(1, tile)
         cmin = jnp.min(cflat)
         onehot = (cflat == cmin).astype(jnp.float32)
@@ -291,12 +335,11 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         # cost broadcast over its tile slot, winner vector in row-major order.
         pad = _WSUB * _LANE - P
         cost_out[:, :] = jnp.full((_WSUB, _LANE), cmin)
-        win_out[:, :] = jnp.pad(winner[:, 0], (0, pad)).reshape(_WSUB, _LANE)
+        win_blk = jnp.pad(winner[:, 0], (0, pad)).reshape(_WSUB, _LANE)
 
         if want_extract:
             # Winner's step-0 GRFs + one-step state: 24 masked reductions packed
             # into one (1, 128) row (lanes 0..23).
-            ext_out = refs[2]
             oh2 = (cost == cmin).astype(jnp.float32)
             denom = jnp.sum(oh2)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
@@ -304,21 +347,73 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             for i, r in enumerate(f0_rows + list(s1_rows)):
                 val = jnp.sum(r * oh2) / denom
                 ext_row = jnp.where(lane == i, val, ext_row)
-            ext_out[:, :] = jnp.broadcast_to(ext_row, (_WSUB, _LANE))
+            ext_blk = jnp.broadcast_to(ext_row, (_WSUB, _LANE))
 
         if want_mppi:
-            z_out, s_out = refs[2], refs[3]
             # Softmax partials relative to THIS tile's min; the exact global
-            # softmax is recovered outside via the log-sum-exp shift
+            # softmax is recovered via the log-sum-exp shift
             # exp(-(c-beta)/T) = exp(-(cmin_t-beta)/T) * exp(-(c-cmin_t)/T).
             w_soft = jnp.exp(-(cflat - cmin) * (1.0 / temp))  # (1, tile), <= 1
-            z_out[:, :] = jnp.full((_WSUB, _LANE), jnp.sum(w_soft))
+            z_t = jnp.sum(w_soft)
             s_vec = jnp.dot(params, w_soft.reshape(tile, 1),
                             preferred_element_type=jnp.float32)  # (P, 1)
-            s_out[:, :] = jnp.pad(s_vec[:, 0], (0, pad)).reshape(_WSUB, _LANE)
+            s_blk = jnp.pad(s_vec[:, 0], (0, pad)).reshape(_WSUB, _LANE)
+
+        if fuse_combine:
+            # Sequential-grid accumulator (constant block index): merge this
+            # tile's partials into the running global result. All selects are
+            # full-block vector ops — the comparison operands are lane-uniform,
+            # so no scalar loads from VMEM are needed.
+            acc = refs[1]
+            if method == "random_sampling":
+                scal_blk = jnp.full((_WSUB, _LANE), cmin)
+
+                @pl.when(flat == 0)
+                def _init():
+                    acc[0:_WSUB, :] = scal_blk
+                    acc[_WSUB:2 * _WSUB, :] = win_blk
+                    acc[2 * _WSUB:3 * _WSUB, :] = ext_blk
+
+                @pl.when(flat > 0)
+                def _merge():
+                    prev = acc[0:_WSUB, :]
+                    better = cmin < prev  # (8,128), lane-uniform
+                    acc[0:_WSUB, :] = jnp.where(better, scal_blk, prev)
+                    acc[_WSUB:2 * _WSUB, :] = jnp.where(
+                        better, win_blk, acc[_WSUB:2 * _WSUB, :])
+                    acc[2 * _WSUB:3 * _WSUB, :] = jnp.where(
+                        better, ext_blk, acc[2 * _WSUB:3 * _WSUB, :])
+            else:
+                z_blk = jnp.full((_WSUB, _LANE), z_t)
+                beta_blk = jnp.full((_WSUB, _LANE), cmin)
+
+                @pl.when(flat == 0)
+                def _init():
+                    acc[0:_WSUB, :] = beta_blk
+                    acc[_WSUB:2 * _WSUB, :] = z_blk
+                    acc[2 * _WSUB:3 * _WSUB, :] = s_blk
+
+                @pl.when(flat > 0)
+                def _merge():
+                    prev_beta = acc[0:_WSUB, :]
+                    prev_z = acc[_WSUB:2 * _WSUB, :]
+                    prev_s = acc[2 * _WSUB:3 * _WSUB, :]
+                    nb = jnp.minimum(prev_beta, cmin)
+                    so = jnp.exp(-(prev_beta - nb) * (1.0 / temp))
+                    sn = jnp.exp(-(cmin - nb) * (1.0 / temp))
+                    acc[0:_WSUB, :] = nb
+                    acc[_WSUB:2 * _WSUB, :] = prev_z * so + z_blk * sn
+                    acc[2 * _WSUB:3 * _WSUB, :] = prev_s * so + s_blk * sn
+        else:
+            refs[1][:, :] = win_blk
+            if want_extract:
+                refs[2][:, :] = ext_blk
+            if want_mppi:
+                refs[2][:, :] = jnp.full((_WSUB, _LANE), z_t)
+                refs[3][:, :] = s_blk
 
         if want_cem:
-            ec_out, ep_out = refs[4], refs[5]
+            ec_out, ep_out = (refs[2], refs[3]) if fuse_combine else (refs[4], refs[5])
             # Tile-local top-K by iterative masked min (K one-hot matvecs); the
             # global top-K is selected from all tiles' elites outside the kernel.
             # A per-lane relative epsilon breaks ties (mass ties are REAL at the
@@ -343,33 +438,47 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
 
     out_shapes = [
         jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # cost
-        jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # winner
     ]
     out_specs = [
         pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    if want_extract:
+    if fuse_combine:
+        # One resident accumulator block: [scalars | winner-or-S | ext-or-Z].
         out_shapes += [
-            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ext
+            jax.ShapeDtypeStruct((3 * _WSUB, _LANE), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((3 * _WSUB, _LANE), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        out_shapes += [
+            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # winner
         ]
         out_specs += [
             pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
                          memory_space=pltpu.VMEM),
         ]
-    if want_mppi:
-        out_shapes += [
-            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # Z
-            jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # S
-        ]
-        out_specs += [
-            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        if want_extract:
+            out_shapes += [
+                jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ext
+            ]
+            out_specs += [
+                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        if want_mppi:
+            out_shapes += [
+                jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # Z
+                jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # S
+            ]
+            out_specs += [
+                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                             memory_space=pltpu.VMEM),
+            ]
     if want_cem:
         out_shapes += [
             jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ecosts
@@ -422,6 +531,19 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         )
         GT = G * T
         costs = outs[0].reshape(GT, _WSUB * _LANE)[:, 0]
+        if fuse_combine:
+            acc = outs[1].reshape(3, _WSUB * _LANE)
+            ec = ep = None
+            if want_cem:
+                ec = outs[2].reshape(GT, _WSUB, _LANE)[:, 0, :K_elite]
+                ep = outs[3].reshape(GT, K_elite, _WSUB * _LANE)[:, :, :P]
+            if method == "random_sampling":
+                return FusedIterationOutputs(costs, acc[0, 0], acc[1, :P],
+                                             acc[2, :24], ec, ep)
+            # mppi/cem: acc = [beta | Z | S]; the softmax mean is S/Z and the
+            # reported best cost is the global min beta (mppi_combine's outputs).
+            return FusedIterationOutputs(costs, acc[0, 0],
+                                         acc[2, :P] / acc[1, 0], None, ec, ep)
         winners = outs[1].reshape(GT, _WSUB * _LANE)[:, :P]
         z = s = ec = ep = ext = None
         k = 2
@@ -437,7 +559,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             ep = outs[k + 1].reshape(GT, K_elite, _WSUB * _LANE)[:, :, :P]
         return IterationOutputs(costs, winners, z, s, ec, ep, ext)
 
-    return PallasIterationFn(iteration, G * T, T, P, Ng)
+    return PallasIterationFn(iteration, G * T, T, P, Ng, fuse_combine)
 
 
 def mppi_combine(tile_cmins, tile_z, tile_s, temperature):
@@ -510,7 +632,7 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
     sp = cfg.mpc.sampling
     method = method or sp.method
     it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
-                               tile=tile)
+                               tile=tile, fuse_combine=True)
     H = cfg.mpc.horizon
     P = it.P
     P_leg = P // 4
@@ -534,17 +656,19 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
 
         def body(carry, _):
             params, key, sigma = carry
-            key, sub = jax.random.split(key)
-            seed = jax.random.randint(sub, (), 0, 2**31 - 1, dtype=jnp.int32)
+            seed, key = advance_seed(key)
             outs = it.fn(params, seed, state12, feet_eff.reshape(12), ref12,
                          contact_seq[None], share[None], Wg, offs, sigma)
-            new_params, best_cost, new_sigma, i_best = _combine(outs, method, params,
-                                                                sigma, sp)
-            if outs.ext is not None:
-                oh = (jnp.arange(outs.costs.shape[0]) == i_best).astype(jnp.float32)
-                ext = oh @ outs.ext  # (24,) winner [grf12, next_state12]
+            # The cross-tile combine already ran inside the kernel
+            # (fuse_combine): the global winner / softmax mean, best cost and
+            # winner extraction come straight out of the accumulator block.
+            new_params, best_cost = outs.winner, outs.best_cost
+            if method == "cem_mppi":
+                new_sigma = cem_sigma_update(outs.ecosts, outs.eparams, sp.cem_elite,
+                                             sp.cem_sigma_min, sp.cem_sigma_max)
             else:
-                ext = jnp.zeros(24, jnp.float32)
+                new_sigma = sigma
+            ext = outs.ext if outs.ext is not None else jnp.zeros(24, jnp.float32)
             return (new_params, key, new_sigma), (best_cost, outs.costs, ext)
 
         carry = (best_params, sstate.key, sstate.sigma)
@@ -646,8 +770,7 @@ def make_pallas_gait_adaptive_solver(cfg: Config, num_samples: int | None = None
         seqs, shares, Ws = jax.vmap(_group_operator, in_axes=(0, None))(freqs, phase)
         offs = (freqs - 1.3) ** 2 * 100.0  # frequency regularization (reference :500)
 
-        key, sub = jax.random.split(sstate.key)
-        seed = jax.random.randint(sub, (), 0, 2**31 - 1, dtype=jnp.int32)
+        seed, key = advance_seed(sstate.key)
         outs = it.fn(best_params, seed, state12, feet_eff.reshape(12), ref12,
                      seqs, shares, Ws, offs, sstate.sigma)
         new_params, best_cost, new_sigma, i_best = _combine(outs, method, best_params,

@@ -70,19 +70,26 @@ def test_stand_still_stays_put():
     assert abs(hist[-1, 2] - cfg.sim.ref_z) < 0.05
 
 
-def test_reference_course_uphill_with_tamols():
+@pytest.mark.parametrize("mpc_type", ["nominal", "sampling"])
+def test_reference_course_uphill_with_tamols(mpc_type):
     """The reference's six-section stepping-stones course (docs/
-    STEPPING_STONES_TERRAIN.md:9-46), built to spec in sim/mjcf.py: the nominal
-    gradient MPC with TAMOLS climbs the 15 deg uphill without falling and is well
-    up the slope within the window (dist 2.64 m measured; the uphill spans
-    x=1.0-3.9). Full-field crossing progress: the 60 s run reaches x=6.1 — 1.2 m
-    INTO the stone field — before falling (README roadmap). The harder-than-spec
-    chasm variant (stepping_stones_chasm) remains as an uncovered stress demo."""
+    STEPPING_STONES_TERRAIN.md:9-46), built to spec in sim/mjcf.py: BOTH MPC
+    families with TAMOLS climb the 15 deg uphill without falling and are well up
+    the slope within the window (nominal 2.64 m, sampling 2.54 m measured; the
+    uphill spans x=1.0-3.9). Round 2's sampling-family incline stall is gone —
+    the slope-invariant support mask + swing liftoff boost fixed it, and
+    ``sampling.equilibrium_share`` (rollout.equilibrium_share: per-leg
+    static-equilibrium gravity centering, the slope-correct exploration center,
+    reference centroidal_nmpc_jax.py:377-402) is enabled on the sampling row so
+    the production slope configuration is what regresses here."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
-    cfg = make_config("aliengo", mpc_type="nominal",
+    cfg = make_config("aliengo", mpc_type=mpc_type,
                       **{"sim.visual_foothold_adaptation": "tamols"})
+    if mpc_type == "sampling":
+        cfg = replace_config(cfg, **{"mpc.sampling.num_samples": 2000,
+                                     "mpc.sampling.equilibrium_share": True})
     res = run_simulation(cfg, num_episodes=1, episode_duration_s=15.0,
                          ref_base_lin_vel=(0.3, 0.0), scene="stepping_stones",
                          seed=0)[0]
