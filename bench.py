@@ -429,6 +429,45 @@ def roofline_main():
 
         return best_of(run, reps * CHAIN)
 
+    def measure_kernel_only(num_samples, tile=2048):
+        """The bare fused iteration (no solver wrapper): isolates the Mosaic
+        kernel-invocation cost from the wrapper's XLA ops."""
+        from quadruped_pympc_tamols_tpu.controllers.sampling.splines import (
+            make_step_major_basis,
+        )
+        from quadruped_pympc_tamols_tpu.ops.rollout_pallas import (
+            make_pallas_iteration,
+        )
+
+        it = make_pallas_iteration(cfg, num_samples, tile=tile, fuse_combine=True)
+        sp = cfg.mpc.sampling
+        W = jnp.asarray(make_step_major_basis(sp.parametrization, cfg.mpc.horizon,
+                                              sp.num_splines), jnp.float32)[None]
+        feet12 = feet.reshape(12)
+        seqg = seq[None]
+        share = jnp.full((1, cfg.mpc.horizon), 60.0, jnp.float32)
+        offs = jnp.zeros((1,), jnp.float32)
+        sigma = jnp.full((it.P,), 3.0, jnp.float32)
+
+        @jax.jit
+        def chain(p):
+            def body(i, p):
+                return it.fn(p, i, state12, feet12, ref12, seqg, share, W, offs,
+                             sigma).winner
+            return jax.lax.fori_loop(0, CHAIN, body, p)
+
+        p0 = jnp.zeros((it.P,), jnp.float32)
+        jax.block_until_ready(chain(p0))
+        reps = 5
+
+        def run():
+            r = p0
+            for _ in range(reps):
+                r = chain(r)
+            jax.block_until_ready(r)
+
+        return best_of(run, reps * CHAIN)
+
     ns = [2048, 10240, 40960]
     times = {n: measure(n) for n in ns}
     # Least-squares line t = fixed + slope * N over the sweep.
@@ -443,6 +482,16 @@ def roofline_main():
     ISSUE_HZ = 0.94e9
     issue_bound_rate = ISSUE_HZ * 1024 / OPS_PER_SAMPLE_STEP
 
+    # Launch-bound decomposition at the production point: solve = kernel-only +
+    # wrapper; kernel-only at two tile sizes separates per-tile cost (PRNG seed,
+    # block writeback) from the N- and tile-independent invocation cost.
+    kern_2048 = measure_kernel_only(10240, tile=2048)  # 5 tiles
+    kern_4096 = measure_kernel_only(12288, tile=4096)  # 3 tiles, 2048 extra samples
+    marg = float(slope_ms)
+    per_tile_ms = max(0.0, (kern_2048 - (kern_4096 - 2048 * marg)) / 2.0)
+    launch_ms = kern_2048 - 10240 * marg - 5 * per_tile_ms
+    wrapper_ms = times[10240] - kern_2048
+
     print(json.dumps({
         "metric": "pallas_roofline",
         "sweep_ms": {str(n): round(times[n], 4) for n in ns},
@@ -451,8 +500,15 @@ def roofline_main():
         "marginal_sample_steps_per_s": round(float(marginal_rate), 0),
         "issue_bound_sample_steps_per_s": round(issue_bound_rate, 0),
         "utilization_of_issue_bound": round(float(marginal_rate) / issue_bound_rate, 3),
-        "binding_limit": "VPU instruction issue (non-FMA op stream); fixed "
-                         "overhead (PRNG+launch+partials) dominates at N<=10k",
+        "kernel_only_10k_ms": round(float(kern_2048), 4),
+        "wrapper_overhead_ms": round(float(wrapper_ms), 4),
+        "per_tile_us": round(float(per_tile_ms) * 1e3, 2),
+        "launch_overhead_ms": round(float(launch_ms), 4),
+        "binding_limit": "VPU instruction issue (non-FMA op stream) at large N; "
+                         "the N-independent intercept is LAUNCH-BOUND: it sits "
+                         "inside the bare kernel invocation (in-kernel combine + "
+                         "LCG seeding cut the wrapper to ~5 us and per-tile cost "
+                         "to ~2 us; the remainder is Mosaic dispatch)",
     }))
 
 

@@ -180,8 +180,11 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     G = num_groups
     N = num_samples or sp.num_samples
     sub = tile // _LANE
-    T = max(1, (N // G) // tile)
-    Ng = T * tile  # samples per group actually evaluated
+    # Ceil division: never evaluate FEWER samples than requested (a floor here
+    # silently dropped up to tile-1 samples per group when tile did not divide
+    # N/G — a hidden cap). The last tile's surplus columns are extra exploration.
+    T = max(1, -((N // G) // -tile))
+    Ng = T * tile  # samples per group actually evaluated (>= N // G)
     Ntot = G * Ng
 
     srbd = make_params(cfg)

@@ -175,6 +175,79 @@ def test_stone_field_crossed_end_to_end():
     assert on_stone >= 0.6, f"only {on_stone:.0%} of touchdowns on stone interiors"
 
 
+def test_chasm_field_entered_with_clean_stone_landings():
+    """Measured attempt on the harder-than-reference ``stepping_stones_chasm``
+    stress variant (square 0.4 m grid of r=0.15 stones over 0.3 m deep gaps, +-3 cm
+    jitter — here a missed landing is terminal, unlike the reference-spec course's
+    5 cm step-down). Pinned frontier, crawl + touchdown_overdrive + widened forward
+    search (seed 0, CPU): the robot leaves the start platform, enters the field and
+    executes repeated CLEAN column-1 stone landings (front feet within <=5 cm of
+    stone centers) for 8 s. The full crossing remains open; the measured attempt
+    ladder and its diagnosis (greedy per-leg Raibert+TAMOLS targets cannot
+    coordinate the all-legs-advance-one-column-per-cycle pattern the 0.4 m pitch
+    demands — the base creeps while feet re-book the same column, ending in an
+    overextended roll) are in README 'Known issues / roadmap'."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="nominal", gait="crawl",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "sim.velocity_modulator": False,
+                         "sim.touchdown_overdrive": 0.02,
+                         "mpc.gradient.use_zmp_stability": True,
+                         "tamols.heightmap_cols": 13,
+                         "tamols.support_margin": 0.03,
+                         "tamols.trigger_phase": 0.05,
+                         "tamols.lateral_margin": 0.05,
+                         "tamols.weight_deviation": 6.0,
+                         "tamols.search_radius_forward": 0.3,
+                         "tamols.search_radius_back": 0.1,
+                         "tamols.foot_separation": 0.1})
+
+    class TDProbe:
+        def __init__(self):
+            self.prev = np.ones(4)
+            self.max_x = -10.0
+            self.dstones = []
+            self.stones = None
+
+        def log(self, t, env, wrapper):
+            import mujoco
+            if self.stones is None:
+                m = env.model
+                self.stones = np.array(
+                    [m.geom_pos[i][:2] for i in range(m.ngeom)
+                     if m.geom_type[i] == mujoco.mjtGeom.mjGEOM_CYLINDER])
+            self.max_x = max(self.max_x, float(env.base_pos[0]))
+            c = wrapper.wb_interface.current_contact
+            feet = np.asarray(env.feet_pos().data)
+            for leg in range(4):
+                if self.prev[leg] == 0 and c[leg] == 1:
+                    f = feet[leg]
+                    if 0.55 < f[0] < 3.0:
+                        self.dstones.append(float(np.min(
+                            np.linalg.norm(self.stones - f[:2], axis=1))))
+            self.prev = c.copy()
+
+    def vel(t, base_pos):
+        vy = float(np.clip(-0.5 * (base_pos[1] - 0.2), -0.1, 0.1))
+        return (0.15, vy)
+
+    probe = TDProbe()
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=9.0,
+                         ref_base_lin_vel=vel, scene="stepping_stones_chasm",
+                         seed=0, spawn=(-0.3, 0.2, 0.0), logger=probe)[0]
+    assert not res.fell, f"fell at {res.duration:.1f}s (x={probe.max_x:.2f})"
+    # The BASE leaves the start platform (which ends at x=0.5) while the front
+    # feet work the first stone column ~0.3 m ahead (measured: base 0.60 at 9 s,
+    # front-foot touchdowns at x=0.80-0.84).
+    assert probe.max_x > 0.52, \
+        f"base did not leave the platform: x={probe.max_x:.2f} (platform ends 0.5)"
+    d = np.asarray(probe.dstones)
+    assert len(d) >= 3, f"too few in-field touchdowns to judge ({len(d)})"
+    assert np.all(d <= 0.05), f"non-clean chasm landings: {d}"
+
+
 def test_sampling_reflex_trips_on_bar_and_recovers():
     """Reflexes run under the SAMPLING family too (reference wb_interface.py:362-365
     runs the early-stance detector regardless of controller): a swing foot striking
