@@ -364,6 +364,22 @@ class TamolsParams:
     # leg's current foot are infeasible (base sway can otherwise double-book one
     # stone for two legs). <=0 disables (reference parity).
     foot_separation: float = 0.0
+    # Column-anchored stride quantization for LATTICE terrains (the chasm stress
+    # scene: stones on a fixed pitch over deep gaps). When > 0, a soft cost
+    # pulls each candidate toward the nearer of TWO anchors — the leg's CURRENT
+    # foothold ("stay planted") and current + stride_pitch along the heading
+    # ("hop exactly one column") — so the greedy per-leg argmin stops creeping
+    # onto rims between columns: the only attractive choices are the stone the
+    # foot is on and the next column's stone. <=0 disables (default; no
+    # reference counterpart — the reference has no lattice-terrain demo).
+    stride_pitch: float = 0.0
+    weight_anchor: float = 30.0
+    # Anchors engage only where the leg's sensing window spans more than this
+    # height range — i.e. ON the gap lattice, where a mis-landing is terminal.
+    # On the flat approach deck (range ~0.05 m) the anchors stay off and normal
+    # Raibert strides apply; without this gate the 0.4 m stride quantum makes
+    # ordinary deck walking impossible (measured: falls within 2 s of spawn).
+    stride_gate_range: float = 0.15
     # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
     sensor_z_offset: float = 0.02
     # Per-leg heightmap sensing window (rows along heading x cols lateral, at

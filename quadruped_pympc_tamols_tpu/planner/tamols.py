@@ -78,7 +78,7 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
 
     def _leg_adapt(hm: GridHeightMap, seed, hip, side, other_feet, base_pos, base_vel,
-                   in_stance, diag_foot):
+                   in_stance, diag_foot, own_foot):
         """Score all cells of one leg's heightmap. All lookups are on this leg's grid."""
         cand_xy = hm.cell_world_xy().reshape(-1, 2)  # (M, 2)
         # Candidate z: grid height + sensor offset + 0.005 (reference :192).
@@ -221,7 +221,34 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         if tp.stability_hard:
             feas = feas & ((dist <= tp.stability_margin) | (in_stance == 1.0))
 
-        cost = edge + rough + dev + nominal + track + stab + support_soft
+        # --- soft: column anchors (config stride_pitch — lattice terrains). The
+        # nearer of "stay on the current foothold" and "advance exactly one
+        # pitch along the heading" attracts the argmin, so greedy per-leg
+        # choices quantize to the stone lattice instead of creeping onto rims.
+        anchor = 0.0
+        if tp.stride_pitch > 0.0:
+            head = jnp.array([jnp.cos(hm.yaw), jnp.sin(hm.yaw)])
+            a_stay = own_foot[:2]
+            a_hop = own_foot[:2] + tp.stride_pitch * head
+            d_stay = jnp.sum((cand_xy - a_stay) ** 2, axis=1)
+            d_hop = jnp.sum((cand_xy - a_hop) ** 2, axis=1)
+            # Engage only ON the gap lattice (window height range above the
+            # gate): the flat approach deck keeps ordinary Raibert strides.
+            on_lattice = (jnp.max(cand_z) - jnp.min(cand_z)) > tp.stride_gate_range
+            # Saturate at (pitch/2)^2: at FIELD ENTRY the current foot is still
+            # on the deck and both anchors point mid-gap — without the cap every
+            # reachable stone cell pays a large anchor penalty and the leg
+            # deadlocks at the edge (measured). Beyond half a pitch all cells
+            # pay the same constant, so the baseline costs decide and entry
+            # proceeds as un-anchored; quantization bites once a foot is ON the
+            # lattice and an anchor is genuinely reachable.
+            cap = (tp.stride_pitch / 2.0) ** 2
+            anchor = jnp.where(
+                on_lattice,
+                jnp.minimum(jnp.minimum(d_stay, d_hop), cap) * tp.weight_anchor,
+                0.0)
+
+        cost = edge + rough + dev + nominal + track + stab + support_soft + anchor
         cost = jnp.where(feas, cost, _BIG)
 
         best = jnp.argmin(cost)
@@ -244,9 +271,9 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         others = jnp.stack(
             [feet[np.array([j for j in range(4) if j != i])] for i in range(4)])
         fh, lo, hi, cost, feas = jax.vmap(
-            _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0)
+            _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0)
         )(hms, seeds, hips, sides, others, base_pos, base_vel, current_contact,
-          diag_feet)
+          diag_feet, feet)
         return TamolsResult(fh, lo, hi, cost, feas)
 
     return jax.jit(adapt)

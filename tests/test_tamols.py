@@ -168,3 +168,52 @@ def test_constraint_boxes():
     hi = np.asarray(res.constraints_hi)
     np.testing.assert_allclose(hi[:, 0] - lo[:, 0], 2 * cfg.tamols.constraint_box_dx, atol=1e-6)
     np.testing.assert_allclose(hi[:, 1] - lo[:, 1], 2 * cfg.tamols.constraint_box_dy, atol=1e-6)
+
+
+def test_stride_anchors_snap_to_lattice():
+    """Column-anchored stride quantization (tamols.stride_pitch — the chasm
+    lattice extension, no reference counterpart): on a 0.4 m stone lattice over
+    deep gaps, with the seed mid-gap between columns, the anchored scorer snaps
+    each foothold to a stone CENTER ("stay" or "hop one pitch from the current
+    foot") instead of the rim cell nearest the seed."""
+    cfg = make_config("aliengo")
+    cfg = replace_config(cfg, **{"tamols.stride_pitch": 0.4,
+                                 "tamols.weight_anchor": 50.0,
+                                 "tamols.search_radius_forward": 0.3})
+    adapt = make_tamols_scorer(cfg, "tamols")
+    feet = np.array([[0.0, 0.4, 0.0], [0.0, 0.0, 0.0],
+                     [-0.4, 0.4, 0.0], [-0.4, 0.0, 0.0]])  # on stone centers
+    seeds = feet + np.array([0.2, 0.0, 0.0])  # mid-gap seeds
+    hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
+    hms = _make_hms(stones, seeds)
+    res = adapt(hms, seeds, hips, np.array([-0.1, 0.2, 0.35]),
+                np.array([0.15, 0.0, 0.0]), np.zeros(4), feet)
+    fh = np.asarray(res.footholds)
+    assert np.all(np.asarray(res.feasible))
+    centers = np.round(fh[:, :2] / 0.4) * 0.4
+    d_center = np.linalg.norm(fh[:, :2] - centers, axis=1)
+    assert np.all(d_center < 0.06), f"anchored footholds off-center: {d_center}"
+    # Each foothold is one of the two anchors of ITS leg (stay or +pitch).
+    for leg in range(4):
+        d_stay = np.linalg.norm(fh[leg, :2] - feet[leg, :2])
+        d_hop = np.linalg.norm(fh[leg, :2] - (feet[leg, :2] + [0.4, 0.0]))
+        assert min(d_stay, d_hop) < 0.06
+
+
+def test_stride_anchors_gate_off_on_flat():
+    """The stride anchors engage only where the sensing window spans the gate
+    range (deep gaps): on flat ground the same config behaves like plain
+    TAMOLS (footholds stay near the Raibert seed, free strides)."""
+    cfg = make_config("aliengo")
+    cfg = replace_config(cfg, **{"tamols.stride_pitch": 0.4,
+                                 "tamols.weight_anchor": 50.0})
+    adapt = make_tamols_scorer(cfg, "tamols")
+    seeds = np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                      [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
+    hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
+    feet = seeds - np.array([0.15, 0.0, 0.0])  # anchors would pull backward
+    hms = _make_hms(flat, seeds)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]),
+                np.array([0.2, 0.0, 0.0]), np.zeros(4), feet)
+    fh = np.asarray(res.footholds)
+    assert np.all(np.linalg.norm(fh[:, :2] - seeds[:, :2], axis=1) < 0.1)
