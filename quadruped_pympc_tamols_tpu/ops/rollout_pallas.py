@@ -141,7 +141,8 @@ def advance_seed(key):
 def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                           interpret: bool = False, method: str = "random_sampling",
                           num_groups: int = 1, tile: int = TILE,
-                          fuse_combine: bool = False) -> PallasIterationFn:
+                          fuse_combine: bool = False,
+                          num_chained: int = 1) -> PallasIterationFn:
     """Build the fused sampling iteration for ``num_groups`` candidate groups.
 
     Returns a jitted function
@@ -164,6 +165,15 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     flushed to HBM once. This removes the post-kernel argmin / one-hot-matmul /
     log-sum-exp combine (a tail of ~10 tiny XLA ops whose launch latency
     dominated the solve's fixed overhead at production sample counts).
+
+    With ``num_chained > 1`` (requires fuse_combine; random_sampling and mppi)
+    ALL optimizer iterations run inside ONE kernel launch over an outer grid
+    axis: the first tile of iteration i reads the previous iteration's global
+    result from the accumulator (the argmin winner, or the softmax mean S/Z),
+    publishes it to an incumbent block, and re-initializes the accumulator; the
+    remaining tiles sample around that incumbent. Each extra iteration would
+    otherwise pay the full kernel-invocation cost (~45 us measured, the
+    launch-bound intercept of the roofline) — chained, it pays only its compute.
     """
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable")
@@ -171,6 +181,10 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         raise ValueError(f"unknown sampling method {method!r}")
     if fuse_combine and num_groups != 1:
         raise ValueError("fuse_combine supports a single group only")
+    if num_chained > 1 and not (fuse_combine and method in ("random_sampling",
+                                                           "mppi")):
+        raise ValueError("num_chained needs fuse_combine and a chainable method "
+                         "(random_sampling | mppi)")
     sp = cfg.mpc.sampling
     H = cfg.mpc.horizon
     P_leg = num_params_per_leg(sp.parametrization, H, sp.num_splines)
@@ -215,12 +229,34 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     # costing ~0.5 ms of launch latency) are extracted inside the kernel instead.
     want_extract = method == "random_sampling"
 
+    pad = _WSUB * _LANE - P
+
     def kernel(seed_ref, W_ref, best_ref, state_ref, feet_ref, ref_ref, contact_ref,
                share_ref, off_ref, sigma_ref, *out_refs):
-        grp = pl.program_id(0)
-        tile_id = pl.program_id(1)
+        it_id = pl.program_id(0)
+        grp = pl.program_id(1)
+        tile_id = pl.program_id(2)
         flat = grp * T + tile_id
-        pltpu.prng_seed(seed_ref[0, 0] + flat)
+        pltpu.prng_seed(seed_ref[0, 0] + it_id * (G * T) + flat)
+
+        if num_chained > 1:
+            # Chained iterations: the incumbent comes from the PREVIOUS
+            # iteration's accumulator (published by this iteration's first tile
+            # into a persistent VMEM scratch block before the accumulator is
+            # re-initialized below), except at iteration 0 where it is the
+            # caller's warm start.
+            inc_ref = out_refs[-1]
+            acc_pre = out_refs[-2]
+
+            @pl.when(tile_id == 0)
+            def _publish():
+                best_blk = jnp.pad(best_ref[0, :], (0, pad)).reshape(_WSUB, _LANE)
+                if method == "random_sampling":
+                    prev_blk = acc_pre[_WSUB:2 * _WSUB, :]
+                else:  # mppi: softmax mean S/Z (pad lanes: 0/Z = 0, harmless)
+                    prev_blk = (acc_pre[2 * _WSUB:3 * _WSUB, :]
+                                / acc_pre[_WSUB:2 * _WSUB, :])
+                inc_ref[:, :] = jnp.where(it_id == 0, best_blk, prev_blk)
 
         # Global column index of each sample in this tile: one (1, tile) row of
         # masks broadcasts over the whole (P, tile) noise matrix.
@@ -238,7 +274,11 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         else:  # cem_mppi: per-parameter sigma rows broadcast over lanes
             noise = _normals((P, tile)) * sigma_ref[0, :].reshape(P, 1)
         noise = jnp.where(is_incumbent, 0.0, noise)
-        params = best_ref[0, :].reshape(P, 1) + noise  # (P, tile)
+        if num_chained > 1:
+            best_vec = out_refs[-1][0:_WSUB, :].reshape(_WSUB * _LANE)[:P]
+        else:
+            best_vec = best_ref[0, :]
+        params = best_vec.reshape(P, 1) + noise  # (P, tile)
 
         # Raw force trajectories on the MXU: (H*12, P) @ (P, tile).
         raw = jnp.dot(W_ref[0], params, preferred_element_type=jnp.float32)
@@ -326,7 +366,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         bad = jnp.isnan(cost) | jnp.isinf(cost)
         cost = jnp.where(bad, 1.0e6, cost) + off_ref[0, 0, 0]
 
-        refs = list(out_refs)
+        refs = list(out_refs[:-1]) if num_chained > 1 else list(out_refs)
         cost_out = refs[0]
         cflat = cost.reshape(1, tile)
         cmin = jnp.min(cflat)
@@ -336,7 +376,6 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                          preferred_element_type=jnp.float32)  # (P, 1)
         # Outputs are (8, 128)-padded per tile (TPU block-shape constraint):
         # cost broadcast over its tile slot, winner vector in row-major order.
-        pad = _WSUB * _LANE - P
         cost_out[:, :] = jnp.full((_WSUB, _LANE), cmin)
         win_blk = jnp.pad(winner[:, 0], (0, pad)).reshape(_WSUB, _LANE)
 
@@ -439,11 +478,13 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 masked = jnp.where(masked == ck, _BIG, masked)
             ec_out[:, :] = jnp.broadcast_to(ec_row, (_WSUB, _LANE))
 
+    # Per-tile costs are iteration-indexed (chained grids may not revisit an
+    # output block non-consecutively); the wrapper reads the last iteration.
     out_shapes = [
-        jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # cost
+        jax.ShapeDtypeStruct((num_chained * G * T * _WSUB, _LANE), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+        pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (i * G * T + g * T + t, 0),
                      memory_space=pltpu.VMEM),
     ]
     if fuse_combine:
@@ -452,7 +493,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             jax.ShapeDtypeStruct((3 * _WSUB, _LANE), jnp.float32),
         ]
         out_specs += [
-            pl.BlockSpec((3 * _WSUB, _LANE), lambda g, t: (0, 0),
+            pl.BlockSpec((3 * _WSUB, _LANE), lambda i, g, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -460,7 +501,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # winner
         ]
         out_specs += [
-            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+            pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                          memory_space=pltpu.VMEM),
         ]
         if want_extract:
@@ -468,7 +509,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ext
             ]
             out_specs += [
-                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                              memory_space=pltpu.VMEM),
             ]
         if want_mppi:
@@ -477,9 +518,9 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # S
             ]
             out_specs += [
-                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+                pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                              memory_space=pltpu.VMEM),
             ]
     if want_cem:
@@ -488,30 +529,35 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             jax.ShapeDtypeStruct((G * T * K_elite * _WSUB, _LANE), jnp.float32),
         ]
         out_specs += [
-            pl.BlockSpec((_WSUB, _LANE), lambda g, t: (g * T + t, 0),
+            pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_elite * _WSUB, _LANE), lambda g, t: (g * T + t, 0),
+            pl.BlockSpec((K_elite * _WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                          memory_space=pltpu.VMEM),
         ]
 
     grid_spec = pl.GridSpec(
-        grid=(G, T),
+        grid=(num_chained, G, T),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H * 12, P), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 1), lambda i, g, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H * 12, P), lambda i, g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4 * H), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, P), lambda i, g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda i, g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda i, g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda i, g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * H), lambda i, g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H), lambda g, t: (g, 0, 0),
+            pl.BlockSpec((1, 1, H), lambda i, g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda g, t: (g, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, g, t: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P), lambda i, g, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
+        # Incumbent block for chained iterations: VMEM scratch persists across
+        # the sequential grid, so iteration i's tiles read what iteration i's
+        # first tile published.
+        scratch_shapes=([pltpu.VMEM((_WSUB, _LANE), jnp.float32)]
+                        if num_chained > 1 else []),
     )
 
     call = pl.pallas_call(
@@ -533,7 +579,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             sigma.astype(jnp.float32).reshape(1, P),
         )
         GT = G * T
-        costs = outs[0].reshape(GT, _WSUB * _LANE)[:, 0]
+        costs = outs[0].reshape(num_chained, GT, _WSUB * _LANE)[-1, :, 0]
         if fuse_combine:
             acc = outs[1].reshape(3, _WSUB * _LANE)
             ec = ep = None
@@ -634,8 +680,15 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
 
     sp = cfg.mpc.sampling
     method = method or sp.method
+    # random_sampling / mppi iterations chain INSIDE the kernel (one launch for
+    # all of them); cem_mppi's global elite-sigma refit needs the host top-K
+    # between iterations, so it keeps the scan-of-launches path.
+    chain_iters = (sp.num_iterations
+                   if sp.num_iterations > 1 and method in ("random_sampling", "mppi")
+                   else 1)
     it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
-                               tile=tile, fuse_combine=True)
+                               tile=tile, fuse_combine=True,
+                               num_chained=chain_iters)
     H = cfg.mpc.horizon
     P = it.P
     P_leg = P // 4
@@ -675,9 +728,11 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
             return (new_params, key, new_sigma), (best_cost, outs.costs, ext)
 
         carry = (best_params, sstate.key, sstate.sigma)
-        if sp.num_iterations == 1:
-            # No scan wrapper: keeps the kernel call inline in the solve program
-            # (a length-1 lax.scan lowers to a while loop and blocks fusion).
+        if sp.num_iterations == 1 or chain_iters > 1:
+            # Single kernel call: either one iteration, or ALL iterations
+            # chained inside the kernel grid (num_chained) — no scan wrapper
+            # (a lax.scan lowers to a while loop and blocks fusion, and each
+            # scan step would pay the full kernel-invocation cost).
             (new_params, key, sigma), (best_cost, last_tile_costs, ext) = body(carry, None)
         else:
             (new_params, key, sigma), (best_costs, tile_costs, exts) = jax.lax.scan(

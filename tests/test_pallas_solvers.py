@@ -133,3 +133,34 @@ def test_pallas_gait_adaptive_matches_xla_zero_noise(optimize_swing):
     np.testing.assert_allclose(float(out_p.best_freq), float(out_x.best_freq))
     np.testing.assert_allclose(float(out_p.best_cost), float(out_x.best_cost),
                                rtol=1e-4)
+
+
+def test_pallas_chained_iterations_improve_best_cost():
+    """num_iterations > 1 for random_sampling/mppi runs ALL iterations inside
+    ONE kernel launch (num_chained grid axis). Iteration 0 of the chained build
+    draws the same PRNG stream as the single-iteration build (seed offsets are
+    iteration-indexed from the same base), and the running incumbent is
+    re-evaluated as sample 0 of every later iteration, so the chained best cost
+    is exactly monotone: best(3 iters) <= best(1 iter)."""
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg1 = replace_config(cfg, **{"mpc.sampling.num_samples": 256})
+    cfg3 = replace_config(cfg1, **{"mpc.sampling.num_iterations": 3})
+    s1, P = make_pallas_sampling_solver(cfg1, num_samples=256, interpret=True,
+                                        tile=128)
+    s3, _ = make_pallas_sampling_solver(cfg3, num_samples=256, interpret=True,
+                                        tile=128)
+    state12, feet, ref12, seq = _scene(cfg1)
+    st = _state(P)
+    out1, _ = s1(state12, feet, ref12, feet, seq, seq[:, 0], jnp.ones(4), st)
+    out3, _ = s3(state12, feet, ref12, feet, seq, seq[:, 0], jnp.ones(4), st)
+    assert float(out3.best_cost) <= float(out1.best_cost) + 1e-5
+    assert np.all(np.isfinite(np.asarray(out3.grfs)))
+
+    # mppi chains through the in-kernel S/Z incumbent hand-off: finite outputs.
+    cfgm = replace_config(cfg3, **{"mpc.sampling.method": "mppi"})
+    sm, Pm = make_pallas_sampling_solver(cfgm, num_samples=256, interpret=True,
+                                         tile=128)
+    outm, _ = sm(state12, feet, ref12, feet, seq, seq[:, 0], jnp.ones(4),
+                 _state(Pm))
+    assert np.isfinite(float(outm.best_cost))
+    assert np.all(np.isfinite(np.asarray(outm.grfs)))
