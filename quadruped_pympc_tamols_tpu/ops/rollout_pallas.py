@@ -110,6 +110,7 @@ class FusedIterationOutputs(NamedTuple):
     ext: object  # (24,) winner step-0 [grf12, next_state12], or None
     ecosts: object  # (GT, K) per-tile elite costs, or None (cem_mppi)
     eparams: object  # (GT, K, P) per-tile elite params, or None (cem_mppi)
+    sigma: object = None  # (P,) in-kernel CEM elite sigma refit (cem_mppi)
 
 
 class PallasIterationFn(NamedTuple):
@@ -128,13 +129,25 @@ def advance_seed(key):
     measurable share of the solve's fixed overhead (BENCH_r02 roofline: the
     ~0.13 ms N-independent intercept) — for per-solve kernel seeding. Stream
     quality comes from the on-core PRNG that re-hashes ``seed + tile_id``
-    (pltpu.prng_seed), not from the seed sequence, so an LCG walk over the key
-    words is adequate for exploration noise."""
+    (pltpu.prng_seed), not from the seed sequence, but the raw low word of a
+    mod-2^32 LCG has short-period low bits and successive-solve seed ranges
+    [s, s + num_chained*T) could collide, so the extracted seed gets a murmur3
+    finalizing mix (5 ops, still far cheaper than a threefry split)."""
     typed = jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
     kd = jax.random.key_data(key) if typed else key
-    seed = jax.lax.bitcast_convert_type(kd.ravel()[-1], jnp.int32)
+    word = kd.ravel()[-1]
+    # murmur3 fmix32: full-avalanche output permutation of the LCG state word.
+    word = word ^ (word >> 16)
+    word = word * np.uint32(0x7FEB352D)
+    word = word ^ (word >> 15)
+    word = word * np.uint32(0x846CA68B)
+    word = word ^ (word >> 16)
+    seed = jax.lax.bitcast_convert_type(word, jnp.int32)
     new_kd = kd * np.uint32(747796405) + np.uint32(2891336453)
-    new_key = jax.random.wrap_key_data(new_kd) if typed else new_kd
+    if typed:
+        new_key = jax.random.wrap_key_data(new_kd, impl=jax.random.key_impl(key))
+    else:
+        new_key = new_kd
     return seed, new_key
 
 
@@ -166,14 +179,23 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     log-sum-exp combine (a tail of ~10 tiny XLA ops whose launch latency
     dominated the solve's fixed overhead at production sample counts).
 
-    With ``num_chained > 1`` (requires fuse_combine; random_sampling and mppi)
-    ALL optimizer iterations run inside ONE kernel launch over an outer grid
+    With ``num_chained > 1`` (requires fuse_combine; all three methods) ALL
+    optimizer iterations run inside ONE kernel launch over an outer grid
     axis: the first tile of iteration i reads the previous iteration's global
-    result from the accumulator (the argmin winner, or the softmax mean S/Z),
-    publishes it to an incumbent block, and re-initializes the accumulator; the
-    remaining tiles sample around that incumbent. Each extra iteration would
-    otherwise pay the full kernel-invocation cost (~45 us measured, the
-    launch-bound intercept of the roofline) — chained, it pays only its compute.
+    result from the accumulator (the argmin winner, or the softmax mean S/Z —
+    plus, for cem_mppi, the refitted elite sigma), publishes it to an incumbent
+    scratch block, and re-initializes the accumulator; the remaining tiles
+    sample around that incumbent. Each extra iteration would otherwise pay the
+    full kernel-invocation cost (~45 us measured, the launch-bound intercept of
+    the roofline) — chained, it pays only its compute.
+
+    cem_mppi under fuse_combine keeps the GLOBAL top-K elite set in the
+    accumulator too: each tile inserts its K sorted elites by replace-max into
+    the running unsorted top-K set (exact — an element belongs to the global
+    top-K iff it survives every replace-max pass), and the LAST tile refits
+    sigma from the merged elites (variance, ddof=1, clip) entirely in VMEM.
+    This removes the per-tile elite outputs and the host-side
+    top-k/one-hot-matmul tail that made cem_mppi ~50% slower than mppi.
     """
     if not _HAS_PALLAS:
         raise RuntimeError("pallas unavailable")
@@ -181,10 +203,8 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         raise ValueError(f"unknown sampling method {method!r}")
     if fuse_combine and num_groups != 1:
         raise ValueError("fuse_combine supports a single group only")
-    if num_chained > 1 and not (fuse_combine and method in ("random_sampling",
-                                                           "mppi")):
-        raise ValueError("num_chained needs fuse_combine and a chainable method "
-                         "(random_sampling | mppi)")
+    if num_chained > 1 and not fuse_combine:
+        raise ValueError("num_chained needs fuse_combine")
     sp = cfg.mpc.sampling
     H = cfg.mpc.horizon
     P_leg = num_params_per_leg(sp.parametrization, H, sp.num_splines)
@@ -216,6 +236,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     sigma_mppi = sp.sigma_mppi
     temp = sp.mppi_temperature
     K_elite = sp.cem_elite
+    sig_min, sig_max = sp.cem_sigma_min, sp.cem_sigma_max
 
     # Sample-mixture boundaries (reference :650-677): [0]=incumbent,
     # [1, 1+N/3) gauss*s1, [1+N/3, 1+2N/3) gauss*s2, rest uniform(+-s3).
@@ -230,6 +251,12 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     want_extract = method == "random_sampling"
 
     pad = _WSUB * _LANE - P
+    # Packed-elite geometry (fused cem_mppi): sub_p rows of 128 lanes per
+    # elite parameter vector, K_elite of them stacked, padded to a sublane
+    # multiple for the accumulator block shape.
+    sub_p = -(-P // _LANE)
+    ep_rows = K_elite * sub_p
+    ep_rows_pad = -(-ep_rows // _WSUB) * _WSUB
 
     def kernel(seed_ref, W_ref, best_ref, state_ref, feet_ref, ref_ref, contact_ref,
                share_ref, off_ref, sigma_ref, *out_refs):
@@ -239,12 +266,23 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         flat = grp * T + tile_id
         pltpu.prng_seed(seed_ref[0, 0] + it_id * (G * T) + flat)
 
+        # Accumulator row offsets for the fused cem_mppi elite set:
+        # [beta | Z | S | elite-cost row | PACKED elite params | sigma].
+        # Elites are packed sub_p = ceil(P/128) rows each (not a padded
+        # (8, 128) block per elite): one replace-max insertion then updates
+        # the whole elite set with a SINGLE vector select on the packed
+        # (K*sub_p, 128) array, keyed on a row-group iota.
+        ec_off = 3 * _WSUB
+        ep_off = 4 * _WSUB
+        sg_off = ep_off + ep_rows_pad
+
         if num_chained > 1:
             # Chained iterations: the incumbent comes from the PREVIOUS
             # iteration's accumulator (published by this iteration's first tile
             # into a persistent VMEM scratch block before the accumulator is
             # re-initialized below), except at iteration 0 where it is the
-            # caller's warm start.
+            # caller's warm start. For cem_mppi the previous iteration's
+            # refitted sigma is published alongside (second scratch block).
             inc_ref = out_refs[-1]
             acc_pre = out_refs[-2]
 
@@ -253,10 +291,15 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 best_blk = jnp.pad(best_ref[0, :], (0, pad)).reshape(_WSUB, _LANE)
                 if method == "random_sampling":
                     prev_blk = acc_pre[_WSUB:2 * _WSUB, :]
-                else:  # mppi: softmax mean S/Z (pad lanes: 0/Z = 0, harmless)
+                else:  # mppi/cem: softmax mean S/Z (pad lanes: 0/Z = 0, harmless)
                     prev_blk = (acc_pre[2 * _WSUB:3 * _WSUB, :]
                                 / acc_pre[_WSUB:2 * _WSUB, :])
-                inc_ref[:, :] = jnp.where(it_id == 0, best_blk, prev_blk)
+                inc_ref[0:_WSUB, :] = jnp.where(it_id == 0, best_blk, prev_blk)
+                if want_cem:
+                    sig0_blk = jnp.pad(sigma_ref[0, :], (0, pad)).reshape(
+                        _WSUB, _LANE)
+                    inc_ref[_WSUB:2 * _WSUB, :] = jnp.where(
+                        it_id == 0, sig0_blk, acc_pre[sg_off:sg_off + _WSUB, :])
 
         # Global column index of each sample in this tile: one (1, tile) row of
         # masks broadcasts over the whole (P, tile) noise matrix.
@@ -272,7 +315,12 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         elif method == "mppi":
             noise = _normals((P, tile)) * sigma_mppi
         else:  # cem_mppi: per-parameter sigma rows broadcast over lanes
-            noise = _normals((P, tile)) * sigma_ref[0, :].reshape(P, 1)
+            if num_chained > 1:  # per-iteration sigma from the publish scratch
+                sig_vec = out_refs[-1][_WSUB:2 * _WSUB, :].reshape(
+                    _WSUB * _LANE)[:P]
+            else:
+                sig_vec = sigma_ref[0, :]
+            noise = _normals((P, tile)) * sig_vec.reshape(P, 1)
         noise = jnp.where(is_incumbent, 0.0, noise)
         if num_chained > 1:
             best_vec = out_refs[-1][0:_WSUB, :].reshape(_WSUB * _LANE)[:P]
@@ -455,28 +503,104 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 refs[3][:, :] = s_blk
 
         if want_cem:
-            ec_out, ep_out = (refs[2], refs[3]) if fuse_combine else (refs[4], refs[5])
-            # Tile-local top-K by iterative masked min (K one-hot matvecs); the
-            # global top-K is selected from all tiles' elites outside the kernel.
+            # Tile-local top-K by iterative masked min (K one-hot matvecs).
             # A per-lane relative epsilon breaks ties (mass ties are REAL at the
             # 1e6 cost saturation), so each masked min removes exactly one sample
             # — (cost, lane) lexicographic order, like XLA top_k's index order.
             lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
                 jnp.float32)
             masked = cflat * (1.0 + 3e-7 * lane_f)
-            ec_row = jnp.zeros((1, _LANE), jnp.float32)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            p_pad = sub_p * _LANE - P
+            tile_ec = []  # K scalar elite costs, ascending
+            tile_ep = []  # K packed (sub_p, _LANE) elite parameter slabs
             for k in range(K_elite):
                 ck = jnp.min(masked)
                 oh = (masked == ck).astype(jnp.float32)
                 oh = oh / jnp.sum(oh)
                 ek = jnp.dot(params, oh.reshape(tile, 1),
                              preferred_element_type=jnp.float32)  # (P, 1)
-                ep_out[k * _WSUB:(k + 1) * _WSUB, :] = (
-                    jnp.pad(ek[:, 0], (0, pad)).reshape(_WSUB, _LANE))
-                ec_row = jnp.where(lane == k, ck, ec_row)
+                tile_ec.append(ck)
+                tile_ep.append(jnp.pad(ek[:, 0], (0, p_pad)).reshape(sub_p,
+                                                                     _LANE))
                 masked = jnp.where(masked == ck, _BIG, masked)
-            ec_out[:, :] = jnp.broadcast_to(ec_row, (_WSUB, _LANE))
+
+            if not fuse_combine:
+                ec_out, ep_out = refs[4], refs[5]
+                ec_row = jnp.zeros((1, _LANE), jnp.float32)
+                for k in range(K_elite):
+                    blk = jnp.pad(tile_ep[k].reshape(-1)[:P], (0, pad))
+                    ep_out[k * _WSUB:(k + 1) * _WSUB, :] = blk.reshape(_WSUB,
+                                                                       _LANE)
+                    ec_row = jnp.where(lane == k, tile_ec[k], ec_row)
+                ec_out[:, :] = jnp.broadcast_to(ec_row, (_WSUB, _LANE))
+            else:
+                # Global elite merge riding the sequential-grid accumulator:
+                # the running top-K lives as an UNSORTED set (cost row lanes
+                # 0..K-1 + packed param slab). Each tile inserts its K sorted
+                # elites by replace-max — a candidate enters iff it beats the
+                # current worst member, which is exactly membership in the
+                # global top-K — and each insertion updates the slab with ONE
+                # row-group-keyed vector select.
+                acc = refs[1]
+                valid = lane < K_elite
+                tile_stack = jnp.concatenate(tile_ep, axis=0)  # (ep_rows, 128)
+                stack_pad = jnp.pad(tile_stack,
+                                    ((0, ep_rows_pad - ep_rows), (0, 0)))
+                row_group = jax.lax.broadcasted_iota(
+                    jnp.int32, (ep_rows_pad, 1), 0) // sub_p
+
+                @pl.when(flat == 0)
+                def _einit():
+                    row = jnp.full((1, _LANE), _BIG)
+                    for k in range(K_elite):
+                        row = jnp.where(lane == k, tile_ec[k], row)
+                    acc[ec_off:ep_off, :] = jnp.broadcast_to(row, (_WSUB, _LANE))
+                    acc[ep_off:ep_off + ep_rows_pad, :] = stack_pad
+
+                @pl.when(flat > 0)
+                def _emerge():
+                    ec = acc[ec_off:ec_off + _WSUB, :][0:1, :]  # (1, _LANE)
+                    eps = acc[ep_off:ep_off + ep_rows_pad, :]
+                    for k in range(K_elite):
+                        cand_c = tile_ec[k]
+                        cmax = jnp.max(jnp.where(valid, ec, -_BIG))
+                        is_max = (ec == cmax) & valid
+                        slot = jnp.min(jnp.where(is_max, lane, 2 * _LANE))
+                        better = cand_c < cmax
+                        ec = jnp.where(better & is_max & (lane == slot),
+                                       cand_c, ec)
+                        cand_rows = jnp.concatenate([tile_ep[k]] * K_elite,
+                                                    axis=0)
+                        cand_rows = jnp.pad(cand_rows,
+                                            ((0, ep_rows_pad - ep_rows),
+                                             (0, 0)))
+                        eps = jnp.where(better & (row_group == slot),
+                                        cand_rows, eps)
+                    acc[ec_off:ep_off, :] = jnp.broadcast_to(ec, (_WSUB, _LANE))
+                    acc[ep_off:ep_off + ep_rows_pad, :] = eps
+
+                @pl.when(flat == G * T - 1)
+                def _esigma():
+                    # Sigma refit from the merged global elites (reference
+                    # centroidal_nmpc_jax.py:1075-1081: std of the top-K
+                    # parameters, clamped). Pad lanes hold zeros in every
+                    # elite, so their variance is 0 -> clipped to sig_min;
+                    # the wrapper reads only the first P entries.
+                    eps = acc[ep_off:ep_off + ep_rows_pad, :]
+                    ps = [eps[j * sub_p:(j + 1) * sub_p, :]
+                          for j in range(K_elite)]
+                    mean = ps[0]
+                    for j in range(1, K_elite):
+                        mean = mean + ps[j]
+                    mean = mean * (1.0 / K_elite)
+                    var = (ps[0] - mean) * (ps[0] - mean)
+                    for j in range(1, K_elite):
+                        var = var + (ps[j] - mean) * (ps[j] - mean)
+                    var = var * (1.0 / (K_elite - 1)) + 1e-8
+                    sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)
+                    acc[sg_off:sg_off + _WSUB, :] = jnp.pad(
+                        sig, ((0, _WSUB - sub_p), (0, 0)))
 
     # Per-tile costs are iteration-indexed (chained grids may not revisit an
     # output block non-consecutively); the wrapper reads the last iteration.
@@ -488,12 +612,15 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                      memory_space=pltpu.VMEM),
     ]
     if fuse_combine:
-        # One resident accumulator block: [scalars | winner-or-S | ext-or-Z].
+        # One resident accumulator block: [scalars | winner-or-S | ext-or-Z],
+        # extended for cem_mppi with [elite costs | packed elites | sigma].
+        acc_rows = (4 * _WSUB + ep_rows_pad + _WSUB if method == "cem_mppi"
+                    else 3 * _WSUB)
         out_shapes += [
-            jax.ShapeDtypeStruct((3 * _WSUB, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((acc_rows, _LANE), jnp.float32),
         ]
         out_specs += [
-            pl.BlockSpec((3 * _WSUB, _LANE), lambda i, g, t: (0, 0),
+            pl.BlockSpec((acc_rows, _LANE), lambda i, g, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -523,7 +650,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 pl.BlockSpec((_WSUB, _LANE), lambda i, g, t: (g * T + t, 0),
                              memory_space=pltpu.VMEM),
             ]
-    if want_cem:
+    if want_cem and not fuse_combine:
         out_shapes += [
             jax.ShapeDtypeStruct((G * T * _WSUB, _LANE), jnp.float32),  # ecosts
             jax.ShapeDtypeStruct((G * T * K_elite * _WSUB, _LANE), jnp.float32),
@@ -555,8 +682,9 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         out_specs=out_specs,
         # Incumbent block for chained iterations: VMEM scratch persists across
         # the sequential grid, so iteration i's tiles read what iteration i's
-        # first tile published.
-        scratch_shapes=([pltpu.VMEM((_WSUB, _LANE), jnp.float32)]
+        # first tile published ([incumbent] — plus [sigma] for cem_mppi).
+        scratch_shapes=([pltpu.VMEM(((2 if method == "cem_mppi" else 1) * _WSUB,
+                                     _LANE), jnp.float32)]
                         if num_chained > 1 else []),
     )
 
@@ -581,18 +709,24 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         GT = G * T
         costs = outs[0].reshape(num_chained, GT, _WSUB * _LANE)[-1, :, 0]
         if fuse_combine:
-            acc = outs[1].reshape(3, _WSUB * _LANE)
-            ec = ep = None
-            if want_cem:
-                ec = outs[2].reshape(GT, _WSUB, _LANE)[:, 0, :K_elite]
-                ep = outs[3].reshape(GT, K_elite, _WSUB * _LANE)[:, :, :P]
+            acc = outs[1]  # (acc_rows, _LANE)
+            beta = acc[0, 0]
             if method == "random_sampling":
-                return FusedIterationOutputs(costs, acc[0, 0], acc[1, :P],
-                                             acc[2, :24], ec, ep)
-            # mppi/cem: acc = [beta | Z | S]; the softmax mean is S/Z and the
-            # reported best cost is the global min beta (mppi_combine's outputs).
-            return FusedIterationOutputs(costs, acc[0, 0],
-                                         acc[2, :P] / acc[1, 0], None, ec, ep)
+                win = acc[_WSUB:2 * _WSUB].reshape(-1)[:P]
+                ext = acc[2 * _WSUB:3 * _WSUB].reshape(-1)[:24]
+                return FusedIterationOutputs(costs, beta, win, ext, None, None)
+            # mppi/cem: acc = [beta | Z | S | ...]; the softmax mean is S/Z and
+            # the reported best cost is the global min beta (mppi_combine's
+            # outputs). For cem the merged-elite sigma refit sits in the last
+            # accumulator slot (packed sub_p rows).
+            z_all = acc[_WSUB, 0]
+            s_vec = acc[2 * _WSUB:3 * _WSUB].reshape(-1)[:P]
+            sigma_out = None
+            if want_cem:
+                sg0 = 4 * _WSUB + ep_rows_pad
+                sigma_out = acc[sg0:sg0 + _WSUB].reshape(-1)[:P]
+            return FusedIterationOutputs(costs, beta, s_vec / z_all, None,
+                                         None, None, sigma_out)
         winners = outs[1].reshape(GT, _WSUB * _LANE)[:, :P]
         z = s = ec = ep = ext = None
         k = 2
@@ -680,12 +814,11 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
 
     sp = cfg.mpc.sampling
     method = method or sp.method
-    # random_sampling / mppi iterations chain INSIDE the kernel (one launch for
-    # all of them); cem_mppi's global elite-sigma refit needs the host top-K
-    # between iterations, so it keeps the scan-of-launches path.
-    chain_iters = (sp.num_iterations
-                   if sp.num_iterations > 1 and method in ("random_sampling", "mppi")
-                   else 1)
+    # ALL methods chain their iterations INSIDE the kernel (one launch for all
+    # of them): cem_mppi's elite-sigma refit merges per-tile top-Ks in the
+    # sequential-grid accumulator, so no host round-trip is needed between
+    # iterations.
+    chain_iters = sp.num_iterations
     it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
                                tile=tile, fuse_combine=True,
                                num_chained=chain_iters)
@@ -710,36 +843,21 @@ def make_pallas_sampling_solver(cfg: Config, num_samples: int | None = None,
         Wg = jnp.asarray(W_big, jnp.float32)[None]  # (1, H*12, P)
         offs = jnp.zeros((1,), jnp.float32)
 
-        def body(carry, _):
-            params, key, sigma = carry
-            seed, key = advance_seed(key)
-            outs = it.fn(params, seed, state12, feet_eff.reshape(12), ref12,
-                         contact_seq[None], share[None], Wg, offs, sigma)
-            # The cross-tile combine already ran inside the kernel
-            # (fuse_combine): the global winner / softmax mean, best cost and
-            # winner extraction come straight out of the accumulator block.
-            new_params, best_cost = outs.winner, outs.best_cost
-            if method == "cem_mppi":
-                new_sigma = cem_sigma_update(outs.ecosts, outs.eparams, sp.cem_elite,
-                                             sp.cem_sigma_min, sp.cem_sigma_max)
-            else:
-                new_sigma = sigma
-            ext = outs.ext if outs.ext is not None else jnp.zeros(24, jnp.float32)
-            return (new_params, key, new_sigma), (best_cost, outs.costs, ext)
-
-        carry = (best_params, sstate.key, sstate.sigma)
-        if sp.num_iterations == 1 or chain_iters > 1:
-            # Single kernel call: either one iteration, or ALL iterations
-            # chained inside the kernel grid (num_chained) — no scan wrapper
-            # (a lax.scan lowers to a while loop and blocks fusion, and each
-            # scan step would pay the full kernel-invocation cost).
-            (new_params, key, sigma), (best_cost, last_tile_costs, ext) = body(carry, None)
-        else:
-            (new_params, key, sigma), (best_costs, tile_costs, exts) = jax.lax.scan(
-                body, carry, None, length=sp.num_iterations)
-            best_cost = best_costs[-1]
-            last_tile_costs = tile_costs[-1]
-            ext = exts[-1]
+        # Single kernel call: ALL iterations chain inside the kernel grid
+        # (num_chained) — no scan wrapper (a lax.scan lowers to a while loop
+        # and blocks fusion, and each scan step would pay the full
+        # kernel-invocation cost).
+        seed, key = advance_seed(sstate.key)
+        outs = it.fn(best_params, seed, state12, feet_eff.reshape(12), ref12,
+                     contact_seq[None], share[None], Wg, offs, sstate.sigma)
+        # The cross-tile combine already ran inside the kernel (fuse_combine):
+        # the global winner / softmax mean, best cost, winner extraction — and
+        # for cem_mppi the merged-elite sigma refit — come straight out of the
+        # accumulator block.
+        new_params, best_cost = outs.winner, outs.best_cost
+        sigma = outs.sigma if method == "cem_mppi" else sstate.sigma
+        last_tile_costs = outs.costs
+        ext = outs.ext if outs.ext is not None else jnp.zeros(24, jnp.float32)
 
         if method == "random_sampling":
             # The new incumbent is a sample: its step-0 GRFs and one-step state

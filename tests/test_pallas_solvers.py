@@ -109,6 +109,79 @@ def test_pallas_cem_sigma_refit_changes_sigma():
     assert not np.allclose(s, 3.0)  # the refit actually ran
 
 
+def test_pallas_cem_fused_merge_matches_host_topk():
+    """The in-kernel global elite merge + sigma refit (sequential-grid
+    accumulator, replace-max insertion) is EXACT: on the same PRNG stream it
+    reproduces the host path (per-tile top-K outputs -> jax.lax.top_k over all
+    tiles' elites -> variance refit, ops.cem_sigma_update) bit-for-bit up to
+    f32 accumulation order — softmax mean, best cost and refitted sigma."""
+    from quadruped_pympc_tamols_tpu.controllers.sampling.splines import (
+        make_step_major_basis,
+    )
+    from quadruped_pympc_tamols_tpu.dynamics.srbd import make_params
+    from quadruped_pympc_tamols_tpu.ops.rollout_pallas import (
+        advance_seed,
+        cem_sigma_update,
+        make_pallas_iteration,
+        mppi_combine,
+    )
+
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg = replace_config(cfg, **{"mpc.sampling.method": "cem_mppi"})
+    sp = cfg.mpc.sampling
+    solve, P = make_pallas_sampling_solver(cfg, num_samples=384, interpret=True,
+                                           tile=128)  # 3 tiles
+    state12, feet, ref12, seq = _scene(cfg)
+    cur, prev = seq[:, 0], jnp.ones(4, jnp.float32)
+    st = _state(P, sigma=3.0)
+    out_f, st_f = solve(state12, feet, ref12, feet, seq, cur, prev, st)
+
+    # Host path: the NON-fused iteration on the same seed (same per-tile PRNG
+    # streams), combined outside the kernel.
+    it = make_pallas_iteration(cfg, 384, interpret=True, method="cem_mppi",
+                               tile=128, fuse_combine=False)
+    seed, _ = advance_seed(st.key)
+    srbd = make_params(cfg)
+    share = (srbd.mass * 9.81 / jnp.maximum(jnp.sum(seq, axis=0), 1.0)).astype(
+        jnp.float32)
+    W = jnp.asarray(make_step_major_basis(sp.parametrization, cfg.mpc.horizon,
+                                          sp.num_splines), jnp.float32)[None]
+    outs = it.fn(jnp.zeros(P, jnp.float32), seed, state12, feet.reshape(12),
+                 ref12, seq[None], share[None], W, jnp.zeros(1, jnp.float32),
+                 jnp.full(P, 3.0, jnp.float32))
+    mean_h, beta_h = mppi_combine(outs.costs, outs.z, outs.s,
+                                  sp.mppi_temperature)
+    sigma_h = cem_sigma_update(outs.ecosts, outs.eparams, sp.cem_elite,
+                               sp.cem_sigma_min, sp.cem_sigma_max)
+
+    np.testing.assert_allclose(np.asarray(out_f.best_parameters),
+                               np.asarray(mean_h), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(out_f.best_cost), float(beta_h), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.sigma), np.asarray(sigma_h),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_cem_chained_iterations():
+    """cem_mppi iterations chain inside one kernel launch too (the elite merge
+    and sigma refit live in the accumulator, so no host round-trip is needed):
+    outputs stay finite and the refitted sigma respects its clamp."""
+    cfg = make_config("aliengo", mpc_type="sampling")
+    cfg3 = replace_config(cfg, **{"mpc.sampling.method": "cem_mppi",
+                                  "mpc.sampling.num_iterations": 3})
+    solve, P = make_pallas_sampling_solver(cfg3, num_samples=256, interpret=True,
+                                           tile=128)
+    state12, feet, ref12, seq = _scene(cfg3)
+    out, st2 = solve(state12, feet, ref12, feet, seq, seq[:, 0], jnp.ones(4),
+                     _state(P, sigma=3.0))
+    assert np.isfinite(float(out.best_cost))
+    assert np.all(np.isfinite(np.asarray(out.grfs)))
+    s = np.asarray(st2.sigma)
+    sp = cfg3.mpc.sampling
+    assert np.all(s >= sp.cem_sigma_min - 1e-6)
+    assert np.all(s <= sp.cem_sigma_max + 1e-6)
+    assert not np.allclose(s, 3.0)
+
+
 @pytest.mark.parametrize("optimize_swing", [False, True])
 def test_pallas_gait_adaptive_matches_xla_zero_noise(optimize_swing):
     cfg = _zero_noise_cfg("random_sampling")
