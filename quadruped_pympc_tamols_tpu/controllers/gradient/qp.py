@@ -29,7 +29,8 @@ class QPSolution(NamedTuple):
 
 
 def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0.2,
-               z0=None, mu_floor: float = 1e-4, sl_min: float = 1e-6, lam0=None):
+               z0=None, mu_floor: float = 1e-4, sl_min: float = 1e-6, lam0=None,
+               w_cap: float = 1e4):
     """Solve one dense QP. Shapes: Hm (n, n), g (n,), C (m, n), d (m,).
 
     Fixed ``iters`` Newton steps on the perturbed KKT system with fraction-to-boundary
@@ -60,12 +61,25 @@ def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0
 
         s_safe = jnp.maximum(s, sl_min)
         # Clamp the active-constraint stiffness: keeps K's conditioning within f32
-        # Cholesky range (unbounded lam/s produces NaN pivots once converged).
-        w = jnp.clip(lam / s_safe, 0.0, 1e4)  # (m,)
+        # Cholesky range (unbounded lam/s produces NaN pivots once converged,
+        # and caps >1e4 measurably destabilize the plain-QP iteration itself).
+        # Soft-slacked problems NEED w up to ~1e7 — active soft rows carry
+        # multipliers at the zl=1e3 scale, and the f64 ladder measured 43-78 N
+        # first-stage GRF errors when the old fixed 1e4 cap truncated them —
+        # so soft_qp_solve raises w_cap, paired with Jacobi equilibration.
+        w = jnp.clip(lam / s_safe, 0.0, w_cap)  # (m,)
         rhs = -r_d - C.T @ ((lam * r_p - r_c) / s_safe)
         K = Hm + (C.T * w[None, :]) @ C + I
-        L = jnp.linalg.cholesky(K)
-        dz = jax.scipy.linalg.cho_solve((L, True), rhs)
+        if w_cap > 1e5:
+            # Jacobi equilibration: at stiff caps K spans ~10 orders of
+            # magnitude and the raw f32 Cholesky can lose positive-
+            # definiteness. Exact in exact arithmetic.
+            Dinv = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K), 1e-12))
+            L = jnp.linalg.cholesky(K * Dinv[:, None] * Dinv[None, :] + I)
+            dz = Dinv * jax.scipy.linalg.cho_solve((L, True), Dinv * rhs)
+        else:
+            L = jnp.linalg.cholesky(K)
+            dz = jax.scipy.linalg.cho_solve((L, True), rhs)
         ds = -r_p - C @ dz
         dlam = -(r_c + lam * ds) / s_safe
 
@@ -125,13 +139,24 @@ def soft_qp_solve(Hm, g, C, d, S, zl: float = 1000.0, Zl: float = 1.0,
         [jnp.zeros((ns, n), C.dtype), -zl * jnp.eye(ns, dtype=C.dtype)], axis=1)
     C_aug = jnp.concatenate([C_top, C_bot], axis=0)
     d_aug = jnp.concatenate([d, jnp.zeros(ns, d.dtype)])
-    sol = solver(H_aug, g_aug, C_aug, d_aug, iters=iters, mu_floor=1e-4)
+    # Warm-scale the slacked physical rows' multipliers: when a soft row is
+    # ACTIVE its optimal multiplier sits at the L1 scale (lam ~ zl); started
+    # from 1 the interior point spends the whole fixed budget climbing three
+    # orders of magnitude and lands 10-80 N off (f64 soft-slack ladder).
+    # zl/2 splits the difference between inactive (lam < zl) and active rows:
+    # measured worst-tick first-stage GRF gap 5.6 N (10 forced-infeasible
+    # ticks) vs 26-78 N from lam0 = 1 (tests/test_f64_ladder.py).
+    has_slack = (jnp.asarray(S, C.dtype).sum(axis=1) > 0).astype(C.dtype)
+    lam0 = jnp.concatenate([1.0 + (0.5 * zl - 1.0) * has_slack,
+                            jnp.ones(ns, C.dtype)])
+    sol = solver(H_aug, g_aug, C_aug, d_aug, iters=iters, mu_floor=1e-4,
+                 lam0=lam0, w_cap=1e7)
     return QPSolution(sol.z[:n], sol.lam, sol.s, sol.gap, sol.primal_res)
 
 
 def pdip_solve_mehrotra(Hm, g, C, d, iters: int = 8, reg: float = 1e-7,
                         z0=None, mu_floor: float = 1e-5, sl_min: float = 1e-6,
-                        lam0=None):
+                        lam0=None, w_cap: float = 1e4):
     """Mehrotra predictor-corrector variant of :func:`pdip_solve`.
 
     One Cholesky factorization serves BOTH the affine predictor and the corrector
@@ -157,13 +182,22 @@ def pdip_solve_mehrotra(Hm, g, C, d, iters: int = 8, reg: float = 1e-7,
         mu = jnp.dot(lam, s) / m
 
         s_safe = jnp.maximum(s, sl_min)
-        w = jnp.clip(lam / s_safe, 0.0, 1e4)
+        # w_cap + (stiff-regime) Jacobi equilibration: see pdip_solve.
+        w = jnp.clip(lam / s_safe, 0.0, w_cap)
         K = Hm + (C.T * w[None, :]) @ C + I
-        L = jnp.linalg.cholesky(K)
+        if w_cap > 1e5:
+            Dinv = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K), 1e-12))
+            L = jnp.linalg.cholesky(K * Dinv[:, None] * Dinv[None, :] + I)
+        else:
+            Dinv = None
+            L = jnp.linalg.cholesky(K)
 
         def kkt_solve(r_c):
             rhs = -r_d - C.T @ ((lam * r_p - r_c) / s_safe)
-            dz = jax.scipy.linalg.cho_solve((L, True), rhs)
+            if Dinv is not None:
+                dz = Dinv * jax.scipy.linalg.cho_solve((L, True), Dinv * rhs)
+            else:
+                dz = jax.scipy.linalg.cho_solve((L, True), rhs)
             ds = -r_p - C @ dz
             dlam = -(r_c + lam * ds) / s_safe
             return dz, ds, dlam

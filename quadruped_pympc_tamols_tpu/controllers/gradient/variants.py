@@ -461,11 +461,15 @@ class VariantSolution(NamedTuple):
     qp_gap: jnp.ndarray
 
 
-def make_variant_solver(cfg: Config, spec: VariantSpec):
+def make_variant_solver(cfg: Config, spec: VariantSpec, return_assembler: bool = False):
     """Generalized condensed RTI solve for an augmented-state variant.
 
     Returns ``solve(x0_aug, feet_traj, contact_seq, Xref, Uref, U_warm)
-    -> VariantSolution`` (jitted)."""
+    -> VariantSolution`` (jitted). With ``return_assembler`` additionally
+    returns ``(assemble_qp, S_big)``: the jitted QP assembly at the warm-start
+    linearization (the exact condensed matrices the first GN step solves) and
+    the static slack-selection matrix — the seam the f64 soft-slack
+    verification ladder uses (utils/verification.py)."""
     H = cfg.mpc.horizon
     nx, nu, m = spec.nx, spec.nu, spec.n_ineq
     dts = cfg.mpc.dts()
@@ -494,7 +498,7 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
         _, xs = jax.lax.scan(body, x0, (U, feet_traj, contact_seq.T, dts, w))
         return jnp.concatenate([x0[None], xs], axis=0)
 
-    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w):
+    def _build_qp(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w):
         xbar = _rollout(x0, Ubar, feet_traj, contact_seq, w)
 
         def jac(x, u, feet, c, dt, wk):
@@ -541,7 +545,10 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
                 row = jnp.einsum("mx,jxu->mju", Cx[k], Gm[k - 1]).reshape(m, H * nu)
                 Cb = Cb.at[k * m:(k + 1) * m, :].add(row)
         d = (-cval).reshape(-1)
+        return Hm, g, Cb, d
 
+    def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w):
+        Hm, g, Cb, d = _build_qp(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w)
         if use_soft:
             sol = soft_qp_solve(Hm, g, Cb, d, S_big, solver=qp_fn, iters=iters)
         else:
@@ -565,6 +572,13 @@ def make_variant_solver(cfg: Config, spec: VariantSpec):
         grfs = spec.grfs_of(U[0], x_for_grf).reshape(4, 3) * contact_seq[:, 0:1]
         return VariantSolution(U, X, grfs, X[1][:12], cost, sol.gap)
 
+    if return_assembler:
+        def assemble(x0, feet_traj, contact_seq, Xref, Uref, U_warm,
+                     wrench_stages=None):
+            return _build_qp(x0, U_warm, feet_traj, contact_seq, Xref, Uref,
+                             _stage_wrench(wrench_stages, H))
+        return (jax.jit(solve), OCPDims(nx=nx, nu=nu, horizon=H),
+                jax.jit(assemble), S_big if use_soft else None)
     return jax.jit(solve), OCPDims(nx=nx, nu=nu, horizon=H)
 
 

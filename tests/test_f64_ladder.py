@@ -56,6 +56,53 @@ def test_production_f32_within_ladder_gap():
     assert report["qp_gap_vs_f64_rel"] < 2.5e-3, report
 
 
+def test_soft_slack_qp_within_ladder_gap():
+    """The SOFT-slacked QP path (L1/L2 penalties, acados zl/Zl role) with
+    ACTIVE slacks: static-stability rows with a negative margin are constant
+    infeasible rows at stage 0, so every tick MUST engage its slack — the
+    graceful-degradation scenario qp.soft_qp_solve exists for. The f32
+    production solve is compared against the f64 Mehrotra reference on the SAME
+    augmented matrices from real captured ticks. This ladder is what set the
+    soft path's 1e7 active-constraint stiffness cap (w_cap), its Jacobi
+    equilibration and its lam0 = zl/2 warm scale: at the old fixed 1e4 cap the
+    first-stage GRFs were off by 43-136 N on active-slack QPs (the cap
+    truncated the zl-scale multipliers active soft rows need); with the fix
+    the measured 10-tick max is 5.6 N on this forced-infeasible stress set,
+    bounded at 8 N (~5% of body weight; the production-shaped configs below
+    sit under 0.6 N)."""
+    from quadruped_pympc_tamols_tpu.utils.verification import soft_qp_ladder_report
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"sim.visual_foothold_adaptation": "blind",
+                         "mpc.gradient.use_static_stability": True,
+                         "mpc.gradient.trot_stability_margin": -0.03})
+    rep = soft_qp_ladder_report(cfg, n_ticks=10)
+    assert rep["f64_mu_max"] < 1e-10, "reference solver did not converge"
+    assert rep["n_active_slack_ticks"] == rep["n_ticks"], \
+        f"slacks not active: {rep}"
+    assert rep["soft_qp_gap_vs_f64_max_N"] < 8.0, rep
+    # Inactive-slack production config (the ZMP band as shipped): sub-0.1 N.
+    cfg2 = make_config("aliengo", mpc_type="nominal",
+                       **{"sim.visual_foothold_adaptation": "blind",
+                          "mpc.gradient.use_zmp_stability": True})
+    rep2 = soft_qp_ladder_report(cfg2, n_ticks=10)
+    assert rep2["soft_qp_gap_vs_f64_max_N"] < 0.6, rep2
+
+
+def test_sampling_rollout_f64_ladder():
+    """f64 ladder for the sampling-MPC rollout cost: on real captured tick
+    states and solved incumbent parameters, the production f32 rollout
+    (rollout_costs_soa — the math the Pallas kernel fuses) matches a float64
+    numpy twin to ~4e-7 relative (measured; bounded at 1e-5). The f32 rounding
+    the optimizer's argmin/softmax sees is far below any cost separation that
+    decides a winner."""
+    from quadruped_pympc_tamols_tpu.utils.verification import rollout_ladder_report
+
+    rep = rollout_ladder_report(n_ticks=12)
+    assert rep["rollout_ladder_n_ticks"] == 12
+    assert rep["rollout_gap_vs_f64_rel"] < 1e-5, rep
+
+
 def test_capture_records_real_ticks():
     """Captured ticks carry real contact switching (not all-stance standing)."""
     cfg = make_config("aliengo", mpc_type="nominal",
