@@ -73,7 +73,9 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
     p0 = lift_off
     pf = touch_down
 
-    d = liftoff_boost * step_height
+    # step_height may be scalar or per-leg (...,) (the fleet's reflex analogue
+    # raises individual legs' apexes); keep the boost terms broadcast-safe.
+    d = jnp.asarray(liftoff_boost * step_height, jnp.float32)
     z_mid = jnp.maximum(p0[..., 2], pf[..., 2]) + step_height
     # Midpoint: z(0.5) = (p0 + 6 p1 + 15 p2 + 20 p3 + 22 pf)/64 with the raised
     # P1/P2 contributing an extra 18 d/64 — folded into p3_z.
@@ -82,8 +84,8 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
         [0.5 * (p0[..., :2] + pf[..., :2]), p3_z[..., None]], axis=-1
     )
     up = jnp.zeros_like(p0).at[..., 2].set(1.0)
-    p1 = p0 + 0.5 * d * up
-    p2 = p0 + d * up
+    p1 = p0 + 0.5 * d[..., None] * up
+    p2 = p0 + d[..., None] * up
     # Control points (..., 7, 3): [p0, p1, p2, p3, pf, pf, pf]
     cp = jnp.stack([p0, p1, p2, p3, pf, pf, pf], axis=-2)
 

