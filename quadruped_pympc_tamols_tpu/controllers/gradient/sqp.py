@@ -92,13 +92,19 @@ def qp_solver_for(gp):
     Iteration budgets are set by the f64 verification ladder
     (tests/test_f64_ladder.py — real tick QPs vs a machine-precision f64 solve):
     at 8 iterations occasional ticks under-converge (measured 12.5 N max
-    first-stage GRF error); 14 brings the worst tick to 0.23 N (~1e-3 of the
-    robot's weight, BASELINE.md's parity bar) on BOTH backends — the knee is
-    backend-dependent (10 suffices on TPU, CPU codegen needs 14 near the
-    complementarity floor), so the budget covers the worse one."""
+    first-stage GRF error). The knee is BACKEND-DEPENDENT: 10 iterations bring
+    the worst tick to 0.22 N on TPU, but CPU codegen needs 14 for the same
+    0.23 N near the complementarity floor — so the budget is chosen per
+    backend at factory time (a jit-static constant). Round 3 charged the CPU
+    budget to the TPU too and the RTI solve quietly regressed 0.69 -> 1.03 ms
+    (sequential Cholesky factorizations scale linearly with the budget);
+    splitting the budgets restores the TPU number at unchanged measured
+    accuracy on both backends."""
     if gp.qp_algorithm == "mehrotra":
-        iters = {"balance": 14, "robust": 18, "speed": 6,
-                 "crazy_speed": 4}[gp.solver_mode]
+        on_cpu = jax.default_backend() == "cpu"
+        iters = {"balance": 14 if on_cpu else 10,
+                 "robust": 18 if on_cpu else 14,
+                 "speed": 6, "crazy_speed": 4}[gp.solver_mode]
         return pdip_solve_mehrotra, iters
     return pdip_solve, _qp_iters(gp)
 

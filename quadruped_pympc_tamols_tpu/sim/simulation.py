@@ -93,13 +93,38 @@ def run_simulation(
             from .video import VideoRecorder
             recorder = VideoRecorder(env, video_path, fps=video_fps)
         viewer = None
+        live_rec = {"rec": None}
         if render:
             # Live interactive viewer (reference simulation.py:713-770 renders at
             # 30 Hz with overlays; here mujoco.viewer's passive window, synced at
             # the same rate). Headless environments simply raise at launch —
             # keep render=False (the default) there and use video_path instead.
             import mujoco.viewer as mj_viewer
-            viewer = mj_viewer.launch_passive(env.model, env.data)
+
+            def _key_cb(keycode):
+                # 'V'-key toggled live MP4 capture (reference
+                # simulation/video_recorder.py:17-207 + the keyboard thread in
+                # simulation.py:35-71): reuses the offscreen recorder, so the
+                # saved frames carry the same GRF/foothold overlays as the
+                # viewer; timestamped files land in recordings/.
+                if keycode not in (ord("v"), ord("V")):
+                    return
+                if live_rec["rec"] is None:
+                    import os
+                    import time as _time
+
+                    from .video import VideoRecorder
+                    os.makedirs("recordings", exist_ok=True)
+                    fname = _time.strftime("recordings/live_%Y%m%d_%H%M%S.mp4")
+                    live_rec["rec"] = VideoRecorder(env, fname, fps=video_fps)
+                    print(f"[video] recording -> {fname}", flush=True)
+                else:
+                    p = live_rec["rec"].close()
+                    live_rec["rec"] = None
+                    print(f"[video] saved {p}", flush=True)
+
+            viewer = mj_viewer.launch_passive(env.model, env.data,
+                                              key_callback=_key_cb)
             next_sync = 0.0
 
         n_steps = int(round(episode_duration_s / env.sim_dt))
@@ -167,6 +192,8 @@ def run_simulation(
                 logger.log(t * env.sim_dt, env, wrapper)
             if recorder is not None:
                 recorder.maybe_capture(t * env.sim_dt, wrapper)
+            if live_rec["rec"] is not None:
+                live_rec["rec"].maybe_capture(t * env.sim_dt, wrapper)
             if viewer is not None:
                 if not viewer.is_running():
                     break
@@ -185,6 +212,9 @@ def run_simulation(
 
         if recorder is not None:
             recorder.close(episode=ep)
+        if live_rec["rec"] is not None:  # still recording at episode end
+            print(f"[video] saved {live_rec['rec'].close()}", flush=True)
+            live_rec["rec"] = None
         if viewer is not None:
             viewer.close()
         results.append(EpisodeResult(

@@ -175,6 +175,78 @@ def test_stone_field_crossed_end_to_end():
     assert on_stone >= 0.6, f"only {on_stone:.0%} of touchdowns on stone interiors"
 
 
+def test_full_course_single_episode():
+    """THE reference headline demo, in ONE continuous episode (docs/
+    STEPPING_STONES_TERRAIN.md:9-46; README.md:58): spawn at the course start
+    (0, 0) and traverse flat -> 15 deg uphill -> crest flat -> all ten
+    plum-blossom stone columns -> exit flat -> 15 deg downhill, no fall, one
+    run. Config is the stone-crossing set (ZMP band + sparse-terrain TAMOLS);
+    the velocity schedule is position-based: 0.3 m/s on the approach/uphill,
+    ramped down across the crest flat to 0.15 m/s for the stones, 0.2 m/s on
+    the downhill, with centerline steering throughout. Measured (seed 0, CPU):
+    100 s upright, x=12.57 of the 12.8 m course, 220 in-field touchdowns at
+    75% stone-interior / 95% clean; the 92 s window here reaches x~11.8
+    (well down the downhill) with margin over every bar below."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    ang = np.radians(15.0)
+    x_f1 = 1.0 + 3.0 * np.cos(ang) + 1.0  # stone field start (4.898)
+    stones = np.array([(x_f1 + 0.2 + 0.4 * ix, y)
+                       for ix in range(10)
+                       for y in ((-0.4, 0.0, 0.4) if ix % 2 == 0
+                                 else (-0.2, 0.2, 0.6))])
+    cfg = _stone_field_cfg()
+
+    class TDProbe:
+        def __init__(self):
+            self.prev = np.ones(4)
+            self.dstones = []
+            self.max_x = 0.0
+
+        def log(self, t, env, wrapper):
+            self.max_x = max(self.max_x, float(env.base_pos[0]))
+            c = wrapper.wb_interface.current_contact
+            feet = np.asarray(env.feet_pos().data)
+            for leg in range(4):
+                if self.prev[leg] == 0 and c[leg] == 1:
+                    f = feet[leg]
+                    if x_f1 - 0.1 < f[0] < x_f1 + 4.1:
+                        self.dstones.append(
+                            float(np.min(np.linalg.norm(stones - f[:2], axis=1))))
+            self.prev = c.copy()
+
+    def vel(t, base_pos):
+        x, y = float(base_pos[0]), float(base_pos[1])
+        if x < 3.6:
+            vx = 0.30  # flat approach + uphill
+        elif x < 4.6:
+            vx = 0.30 - 0.15 * (x - 3.6)  # ramp down across the crest flat
+        elif x < 9.2:
+            vx = 0.15  # stone field + exit flat
+        else:
+            vx = 0.20  # downhill
+        vy = float(np.clip(-0.5 * y, -0.1, 0.1))  # hold the centerline
+        return (vx, vy)
+
+    probe = TDProbe()
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=92.0,
+                         ref_base_lin_vel=vel, scene="stepping_stones",
+                         seed=0, logger=probe)[0]
+    assert res.duration > 91.0, \
+        f"fell at {res.duration:.1f}s (x={probe.max_x:.2f})"
+    # Past the crest (x=3.9), across the whole field (ends 8.9), the exit flat
+    # (ends 9.9) and onto the downhill.
+    assert probe.max_x > 10.5, \
+        f"course not completed: reached x={probe.max_x:.2f} of 12.8"
+    d = np.asarray(probe.dstones)
+    assert len(d) >= 120, f"too few in-field touchdowns to judge ({len(d)})"
+    clean = np.mean((d <= 0.11) | (d >= 0.19))
+    on_stone = np.mean(d <= 0.11)
+    assert clean >= 0.85, f"rim landings: only {clean:.0%} clean"
+    assert on_stone >= 0.6, f"only {on_stone:.0%} of touchdowns on stone interiors"
+
+
 def test_chasm_field_entered_with_clean_stone_landings():
     """Measured attempt on the harder-than-reference ``stepping_stones_chasm``
     stress variant (square 0.4 m grid of r=0.15 stones over 0.3 m deep gaps, +-3 cm
