@@ -364,22 +364,39 @@ class TamolsParams:
     # leg's current foot are infeasible (base sway can otherwise double-book one
     # stone for two legs). <=0 disables (reference parity).
     foot_separation: float = 0.0
-    # Column-anchored stride quantization for LATTICE terrains (the chasm stress
-    # scene: stones on a fixed pitch over deep gaps). When > 0, a soft cost
-    # pulls each candidate toward the nearer of TWO anchors — the leg's CURRENT
-    # foothold ("stay planted") and current + stride_pitch along the heading
-    # ("hop exactly one column") — so the greedy per-leg argmin stops creeping
-    # onto rims between columns: the only attractive choices are the stone the
-    # foot is on and the next column's stone. <=0 disables (default; no
-    # reference counterpart — the reference has no lattice-terrain demo).
-    stride_pitch: float = 0.0
-    weight_anchor: float = 30.0
-    # Anchors engage only where the leg's sensing window spans more than this
-    # height range — i.e. ON the gap lattice, where a mis-landing is terminal.
-    # On the flat approach deck (range ~0.05 m) the anchors stay off and normal
-    # Raibert strides apply; without this gate the 0.4 m stride quantum makes
-    # ordinary deck walking impossible (measured: falls within 2 s of spawn).
-    stride_gate_range: float = 0.15
+    # Lattice progression for LATTICE terrains (the chasm stress scene: stones
+    # on a fixed pitch over deep gaps). Round 3's bimodal stay/hop anchor cost
+    # (stride_pitch) REGRESSED field entry — its discounted "stay" anchor made
+    # re-landing in place the cheapest feasible choice exactly where
+    # progression had to happen (measured; see the round-3 README postmortem)
+    # — and is deleted. This redesign follows that postmortem: never discount
+    # "stay", and let the terrain feasibility masks pick the target ahead.
+    # When min_advance > 0, candidates that advance less than min_advance
+    # along the heading FROM THE LEG'S CURRENT FOOT pay a quadratic penalty
+    # (saturated at min_advance, so where no feasible cell ahead exists the
+    # near cells tie and the baseline costs decide — field entry from the
+    # deck proceeds un-anchored); the support/rim/reach masks then make the
+    # nearest plateau interior at least min_advance ahead the argmin.
+    # <=0 disables (default; no reference counterpart).
+    min_advance: float = 0.0
+    weight_progression: float = 30.0
+    # Progression engages PER LEG, only where the terrain within
+    # progression_foot_radius of the leg's CURRENT foot spans more than
+    # gate_range of height — i.e. the foot itself stands on the gap lattice
+    # (or at the deck edge, one stride from the first column). Round 3 gated
+    # on the whole sensing window and engaged while the feet were still
+    # mid-deck (ADVICE r3; measured again with an in-radius gate: 0.35 m deck
+    # strides, y-drift and a roll at the deck edge).
+    progression_gate_range: float = 0.15
+    progression_foot_radius: float = 0.15
+    # When NO candidate passes the hard constraints: 'seed' falls back to the
+    # height-snapped Raibert seed (reference parity,
+    # visual_foothold_adaptation.py:223-228); 'foot' re-lands on the leg's
+    # CURRENT foothold — on gap lattices the seed under a drifting base is
+    # often a rim/gap cell (measured on the chasm: an all-infeasible FR fell
+    # back onto a stone rim and the robot rolled), while the current foot is
+    # known solid ground.
+    fallback: str = "seed"
     # Sensor z-offset applied by heightmap lookups (reference visual_foothold_adaptation.py:35).
     sensor_z_offset: float = 0.02
     # Per-leg heightmap sensing window (rows along heading x cols lateral, at
@@ -464,6 +481,15 @@ class SimParams:
     # before the timer flips. Applied to the swing/IK target only, never to the
     # MPC foothold.
     touchdown_overdrive: float = 0.0
+    # Late-touchdown hold (gap-lattice extension, 0 disables): the gait TIMER
+    # can flip a leg to stance while its foot is still high above the target
+    # (measured on the chasm: a 0.2 m entry hop whose 0.2 s swing ran out of
+    # time "landed" 0.2 m in the air — the MPC then allocated force to the
+    # phantom support and the robot rolled within one step). With a hold, a
+    # leg whose foot is more than this distance [m] above its commanded
+    # touchdown point stays in SWING (the swing clock saturates, so the
+    # controller keeps pressing it down onto the target) until it closes in.
+    late_touchdown_hold: float = 0.0
     reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
     reflex_max_step_height: float = 0.175  # 0.5*hip_height
     velocity_modulator: bool = True
@@ -542,6 +568,7 @@ _ENUM_FIELDS = {
     "sim.visual_foothold_adaptation": ("blind", "height", "tamols"),
     "sim.reflex_trigger_mode": ("tracking", "geom_contact", "off"),
     "sim.ik_solver": ("analytic", "numeric", "qp"),
+    "tamols.fallback": ("seed", "foot"),
 }
 
 

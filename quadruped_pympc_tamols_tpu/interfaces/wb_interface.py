@@ -82,6 +82,7 @@ class WBInterface:
             self.vfa = None
 
         self.current_contact = np.ones(4)
+        self._last_td_targets = None  # (4, 3) swing touchdown targets
         self.previous_contact = np.ones(4)
         self.last_des_foot_pos = Legs.zeros((3,))
         # Moving-average base velocity for the foothold planner: the raw MuJoCo
@@ -127,6 +128,22 @@ class WBInterface:
         self.previous_contact = self.current_contact.copy()
         self.current_contact = contact_sequence[:, 0].copy()
 
+        if cfg.sim.late_touchdown_hold > 0.0 and self._last_td_targets is not None:
+            # Late-touchdown hold (config sim.late_touchdown_hold): refuse the
+            # timer's swing->stance flip while the foot is still far above the
+            # leg's TOUCHDOWN TARGET (not the commanded curve point — a
+            # re-planned swing's command can itself sit mid-arc when the timer
+            # runs out). The swing keeps pressing the foot down (clock
+            # saturated at the swing end) instead of the MPC loading a phantom
+            # support mid-air.
+            feet_arr = np.asarray(feet_pos.data)
+            for leg in range(4):
+                if self.previous_contact[leg] == 0 \
+                        and self.current_contact[leg] == 1 \
+                        and feet_arr[leg, 2] > self._last_td_targets[leg, 2] \
+                        + cfg.sim.late_touchdown_hold:
+                    self.current_contact[leg] = 0.0
+
         self.frg.update_lift_off_positions(self.previous_contact, self.current_contact,
                                            feet_pos, self.pgg.gait_type, base_pos,
                                            base_ori_euler_xyz)
@@ -148,11 +165,22 @@ class WBInterface:
                                                       phase=cfg.tamols.trigger_phase) \
                     and not self.vfa.initialized:
                 seeds = np.asarray(ref_feet_pos.data)
+                # ANCHORED feet: a swinging leg's current position is airborne
+                # (the adaptation runs at its apex) — its foothold identity is
+                # the LIFT-OFF position. The planner uses these for the
+                # progression/fallback anchor, the foot-separation exclusion
+                # and the stability diagonal, all of which mean "where the
+                # foot stands", not "where it floats".
+                feet_anchor = np.asarray(feet_pos.data).copy()
+                lo_pos = np.asarray(self.frg.lift_off_positions.data)
+                for leg in range(4):
+                    if self.current_contact[leg] == 0:
+                        feet_anchor[leg] = lo_pos[leg]
                 self.vfa.compute_adaptation(
                     heightmaps, seeds,
                     np.asarray(hip_pos.data), np.asarray(base_pos),
                     np.mean(self._vel_hist, axis=0), self.current_contact,
-                    np.asarray(feet_pos.data))
+                    feet_anchor)
                 # When the planner moved a touchdown substantially, RE-PLAN the
                 # remaining swing from the current foot position (the reflex
                 # re-planning machinery) instead of evaluating the stale lift-off
@@ -227,6 +255,9 @@ class WBInterface:
         nmpc_joints_pos=None, nmpc_joints_vel=None,
     ):
         """Returns (tau: Legs, des_joints_pos: Legs, des_joints_vel: Legs)."""
+        # Remember the swing touchdown targets for the late-touchdown hold
+        # (next tick's update_state_and_reference).
+        self._last_td_targets = np.asarray(nmpc_footholds.data, np.float64).copy()
         if optimize_swing == 1:
             self.pgg.step_freq = float(best_sample_freq)
             self.frg.stance_time = self.pgg.duty_factor / self.pgg.step_freq
@@ -381,5 +412,6 @@ class WBInterface:
             self.vfa.reset()
         self.esd.reset()
         self.current_contact = np.ones(4)
+        self._last_td_targets = None  # (4, 3) swing touchdown targets
         self.previous_contact = np.ones(4)
         self._vel_hist.clear()

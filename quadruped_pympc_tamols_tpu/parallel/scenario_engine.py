@@ -240,9 +240,12 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
         if adapt is not None:
             # Terrain-aware foothold adaptation (the host stack's apex-gated
             # TAMOLS pass, run every tick here — the fused scorer is ~1% of the
-            # rollout batch's work). Swing legs take the adapted target.
+            # rollout batch's work). Swing legs take the adapted target; the
+            # planner's per-leg anchor is the LIFT-OFF position for swinging
+            # legs (their current kinematic position is airborne).
+            feet_anchor = jnp.where(cur[:, None] == 0.0, liftoff, s.feet)
             adapted, td_z = adapt(s.terrain, ref_feet, hips, s.x[0:3], s.x[3:6],
-                                  s.x[8], cur, s.feet)
+                                  s.x[8], cur, feet_anchor)
             ref_feet = jnp.where(cur[:, None] == 0.0, adapted, ref_feet)
         else:
             td_z = jnp.zeros(4, jnp.float32)

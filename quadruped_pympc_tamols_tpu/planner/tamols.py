@@ -221,34 +221,38 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         if tp.stability_hard:
             feas = feas & ((dist <= tp.stability_margin) | (in_stance == 1.0))
 
-        # --- soft: column anchors (config stride_pitch — lattice terrains). The
-        # nearer of "stay on the current foothold" and "advance exactly one
-        # pitch along the heading" attracts the argmin, so greedy per-leg
-        # choices quantize to the stone lattice instead of creeping onto rims.
-        anchor = 0.0
-        if tp.stride_pitch > 0.0:
-            head = jnp.array([jnp.cos(hm.yaw), jnp.sin(hm.yaw)])
-            a_stay = own_foot[:2]
-            a_hop = own_foot[:2] + tp.stride_pitch * head
-            d_stay = jnp.sum((cand_xy - a_stay) ** 2, axis=1)
-            d_hop = jnp.sum((cand_xy - a_hop) ** 2, axis=1)
-            # Engage only ON the gap lattice (window height range above the
-            # gate): the flat approach deck keeps ordinary Raibert strides.
-            on_lattice = (jnp.max(cand_z) - jnp.min(cand_z)) > tp.stride_gate_range
-            # Saturate at (pitch/2)^2: at FIELD ENTRY the current foot is still
-            # on the deck and both anchors point mid-gap — without the cap every
-            # reachable stone cell pays a large anchor penalty and the leg
-            # deadlocks at the edge (measured). Beyond half a pitch all cells
-            # pay the same constant, so the baseline costs decide and entry
-            # proceeds as un-anchored; quantization bites once a foot is ON the
-            # lattice and an anchor is genuinely reachable.
-            cap = (tp.stride_pitch / 2.0) ** 2
-            anchor = jnp.where(
-                on_lattice,
-                jnp.minimum(jnp.minimum(d_stay, d_hop), cap) * tp.weight_anchor,
-                0.0)
+        # --- soft: lattice progression (config min_advance — replaces round
+        # 3's stride_pitch bimodal anchors, whose discounted "stay" anchor
+        # deadlocked field entry; see config.py rationale). Candidates that do
+        # not advance at least min_advance along the heading FROM THE CURRENT
+        # FOOT pay quadratically — "stay" is never discounted — saturated at
+        # min_advance^2 so that when nothing ahead is feasible all near cells
+        # tie and the baseline costs decide. Gated on the IN-RADIUS height
+        # span (ADVICE r3: the whole-window gate engaged while the foot was
+        # still on the flat deck).
+        prog = 0.0
+        if tp.min_advance > 0.0:
+            # Per-LEG gate: progression engages only when the CURRENT FOOT's
+            # own neighbourhood spans deep gaps — i.e. the foot stands ON the
+            # lattice (or at the deck edge, one stride from column 1). Gating
+            # on the seed's whole sensing radius engaged while the feet were
+            # still mid-deck and drove 0.35 m deck strides (measured: y-drift
+            # + roll at the deck edge, worse than baseline) — exactly the
+            # "anchor from a foot still on the deck" failure the round-3
+            # postmortem forbids.
+            d_foot2 = (cand_xy[:, 0] - own_foot[0]) ** 2 \
+                + (cand_xy[:, 1] - own_foot[1]) ** 2
+            near_foot = d_foot2 < tp.progression_foot_radius ** 2
+            z_hi = jnp.max(jnp.where(near_foot, cand_z, -_BIG))
+            z_lo = jnp.min(jnp.where(near_foot, cand_z, _BIG))
+            on_lattice = (z_hi - z_lo) > tp.progression_gate_range
+            dx_own = c_r * (cand_xy[:, 0] - own_foot[0]) \
+                + s_r * (cand_xy[:, 1] - own_foot[1])
+            short = jnp.clip(tp.min_advance - dx_own, 0.0, tp.min_advance)
+            prog = jnp.where(on_lattice,
+                             short * short * tp.weight_progression, 0.0)
 
-        cost = edge + rough + dev + nominal + track + stab + support_soft + anchor
+        cost = edge + rough + dev + nominal + track + stab + support_soft + prog
         cost = jnp.where(feas, cost, _BIG)
 
         best = jnp.argmin(cost)
@@ -257,9 +261,16 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         onehot = (jnp.arange(cost.shape[0]) == best).astype(cand.dtype)
         best_cand = onehot @ cand
 
-        # Fallback: keep the seed, height-snapped (reference :223-228).
-        seed_snap = jnp.concatenate([seed[:2], (lookup_nearest(hm, seed[:2]) + z_off)[None]])
-        fh = jnp.where(any_feas, best_cand, seed_snap)
+        # Fallback when nothing is feasible: the height-snapped seed
+        # (reference :223-228) or — config tamols.fallback='foot', for gap
+        # lattices — the leg's CURRENT foothold, which is known solid ground
+        # (the drift-squeezed seed can sit on a rim or over a gap).
+        if tp.fallback == "foot":
+            fb_xy = own_foot[:2]
+        else:
+            fb_xy = seed[:2]
+        fb = jnp.concatenate([fb_xy, (lookup_nearest(hm, fb_xy) + z_off)[None]])
+        fh = jnp.where(any_feas, best_cand, fb)
 
         box = jnp.array([tp.constraint_box_dx, tp.constraint_box_dy, 0.0])
         return (fh, fh - box, fh + box, best_cost, any_feas)

@@ -32,8 +32,9 @@ def stones(x, y):
     return jnp.where(on, 0.0, -0.30)
 
 
-def _make_hms(terrain, seeds, yaw=0.0):
-    hms = [heightmap_from_fn(terrain, s[:2], yaw) for s in seeds]
+def _make_hms(terrain, seeds, yaw=0.0, rows=13, cols=7):
+    hms = [heightmap_from_fn(terrain, s[:2], yaw, rows=rows, cols=cols)
+           for s in seeds]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *hms)
 
 
@@ -150,6 +151,25 @@ def test_kinematic_infeasible_falls_back_to_seed():
     np.testing.assert_allclose(np.asarray(res.footholds)[:, :2], seeds[:, :2], atol=1e-6)
 
 
+def test_infeasible_fallback_foot_relands_on_current_foothold():
+    """tamols.fallback='foot' (gap-lattice extension): with nothing feasible,
+    the planner re-lands on the leg's CURRENT foothold (known solid ground)
+    instead of the Raibert seed — measured on the chasm, a drift-squeezed seed
+    fallback put a foot on a stone rim over a gap and the robot rolled."""
+    cfg = make_config("aliengo", **{"tamols.fallback": "foot"})
+    adapt = make_tamols_scorer(cfg, "tamols")
+    seeds = np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                      [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
+    feet = seeds - np.array([0.12, 0.0, 0.0])  # feet trail the seeds
+    hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
+    hms = _make_hms(flat, seeds)
+    res = adapt(hms, seeds, hips + np.array([5.0, 5.0, 5.0]),
+                np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet)
+    assert not np.any(np.asarray(res.feasible))
+    np.testing.assert_allclose(np.asarray(res.footholds)[:, :2], feet[:, :2],
+                               atol=1e-6)
+
+
 def test_stance_legs_skip_stability():
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
     r_swing = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.5, 0.0, 0.0]),
@@ -170,48 +190,64 @@ def test_constraint_boxes():
     np.testing.assert_allclose(hi[:, 1] - lo[:, 1], 2 * cfg.tamols.constraint_box_dy, atol=1e-6)
 
 
-def test_stride_anchors_snap_to_lattice():
-    """Column-anchored stride quantization (tamols.stride_pitch — the chasm
-    lattice extension, no reference counterpart): on a 0.4 m stone lattice over
-    deep gaps, with the seed mid-gap between columns, the anchored scorer snaps
-    each foothold to a stone CENTER ("stay" or "hop one pitch from the current
-    foot") instead of the rim cell nearest the seed."""
+def test_progression_advances_on_lattice():
+    """Lattice progression (tamols.min_advance — the chasm extension replacing
+    round 3's regressing stay/hop anchors; no reference counterpart): on a
+    0.4 m stone lattice over deep gaps, with the Raibert seed mid-gap and the
+    foot on a stone center, the progression cost makes the scorer pick the
+    NEXT column's stone (>= min_advance ahead of the current foot) instead of
+    re-booking the current column — the greedy-rebooking deadlock measured on
+    the chasm field."""
     cfg = make_config("aliengo")
-    cfg = replace_config(cfg, **{"tamols.stride_pitch": 0.4,
-                                 "tamols.weight_anchor": 50.0,
-                                 "tamols.search_radius_forward": 0.3})
+    # The sensing window must REACH the next column's interior (13 rows at
+    # 4 cm spans only +-0.24 m around the seed — the rim of a 0.4 m-pitch
+    # lattice is visible but its stone centers are not).
+    cfg = replace_config(cfg, **{"tamols.min_advance": 0.35,
+                                 "tamols.weight_progression": 50.0,
+                                 "tamols.heightmap_rows": 19,
+                                 "tamols.search_radius_forward": 0.4,
+                                 "tamols.search_radius_back": 0.15})
     adapt = make_tamols_scorer(cfg, "tamols")
     feet = np.array([[0.0, 0.4, 0.0], [0.0, 0.0, 0.0],
                      [-0.4, 0.4, 0.0], [-0.4, 0.0, 0.0]])  # on stone centers
-    seeds = feet + np.array([0.2, 0.0, 0.0])  # mid-gap seeds
+    # Seeds just ahead of the current column — the measured deadlock geometry:
+    # the deviation cost re-books the column the foot is on.
+    seeds = feet + np.array([0.1, 0.0, 0.0])
     hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
-    hms = _make_hms(stones, seeds)
+    hms = _make_hms(stones, seeds, rows=19)
     res = adapt(hms, seeds, hips, np.array([-0.1, 0.2, 0.35]),
                 np.array([0.15, 0.0, 0.0]), np.zeros(4), feet)
     fh = np.asarray(res.footholds)
     assert np.all(np.asarray(res.feasible))
-    centers = np.round(fh[:, :2] / 0.4) * 0.4
-    d_center = np.linalg.norm(fh[:, :2] - centers, axis=1)
-    assert np.all(d_center < 0.06), f"anchored footholds off-center: {d_center}"
-    # Each foothold is one of the two anchors of ITS leg (stay or +pitch).
-    for leg in range(4):
-        d_stay = np.linalg.norm(fh[leg, :2] - feet[leg, :2])
-        d_hop = np.linalg.norm(fh[leg, :2] - (feet[leg, :2] + [0.4, 0.0]))
-        assert min(d_stay, d_hop) < 0.06
+    # Every foothold advanced (roughly) one pitch from its current foot and
+    # sits on a stone (z == 0 on stone tops, -0.30 in the gaps).
+    adv = fh[:, 0] - feet[:, 0]
+    assert np.all(adv > 0.3), f"progression did not advance a column: {adv}"
+    assert np.all(fh[:, 2] > -0.05), f"foothold in a gap: {fh[:, 2]}"
+
+    # Without progression the same scene re-books the CURRENT column for at
+    # least one leg (the deadlock this cost exists to break).
+    cfg0 = replace_config(cfg, **{"tamols.min_advance": 0.0})
+    res0 = make_tamols_scorer(cfg0, "tamols")(
+        hms, seeds, hips, np.array([-0.1, 0.2, 0.35]),
+        np.array([0.15, 0.0, 0.0]), np.zeros(4), feet)
+    adv0 = np.asarray(res0.footholds)[:, 0] - feet[:, 0]
+    assert np.any(adv0 < 0.3), "baseline already advances; progression untested"
 
 
-def test_stride_anchors_gate_off_on_flat():
-    """The stride anchors engage only where the sensing window spans the gate
+def test_progression_gate_off_on_flat():
+    """Progression engages only where the IN-RADIUS terrain spans the gate
     range (deep gaps): on flat ground the same config behaves like plain
-    TAMOLS (footholds stay near the Raibert seed, free strides)."""
+    TAMOLS (footholds stay near the Raibert seed, free strides) — and the
+    gate uses in-radius cells, not the whole sensing window (ADVICE r3)."""
     cfg = make_config("aliengo")
-    cfg = replace_config(cfg, **{"tamols.stride_pitch": 0.4,
-                                 "tamols.weight_anchor": 50.0})
+    cfg = replace_config(cfg, **{"tamols.min_advance": 0.35,
+                                 "tamols.weight_progression": 50.0})
     adapt = make_tamols_scorer(cfg, "tamols")
     seeds = np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
                       [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
     hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
-    feet = seeds - np.array([0.15, 0.0, 0.0])  # anchors would pull backward
+    feet = seeds - np.array([0.15, 0.0, 0.0])  # progression would pull forward
     hms = _make_hms(flat, seeds)
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]),
                 np.array([0.2, 0.0, 0.0]), np.zeros(4), feet)
