@@ -165,12 +165,14 @@ class WBInterface:
                                                       phase=cfg.tamols.trigger_phase) \
                     and not self.vfa.initialized:
                 seeds = np.asarray(ref_feet_pos.data)
-                # ANCHORED feet: a swinging leg's current position is airborne
-                # (the adaptation runs at its apex) — its foothold identity is
-                # the LIFT-OFF position. The planner uses these for the
-                # progression/fallback anchor, the foot-separation exclusion
-                # and the stability diagonal, all of which mean "where the
-                # foot stands", not "where it floats".
+                # Per-leg foothold ANCHOR: a swinging leg's current position
+                # is airborne (the adaptation runs at its apex) — its foothold
+                # identity is the LIFT-OFF position. Consumed only by the
+                # gap-lattice extensions (progression cost, 'foot' fallback);
+                # the stability diagonal / foot separation keep the CURRENT
+                # feet (reference parity — anchoring the trot's
+                # simultaneously-swinging diagonal partner was measured to
+                # break flat-ground adaptation).
                 feet_anchor = np.asarray(feet_pos.data).copy()
                 lo_pos = np.asarray(self.frg.lift_off_positions.data)
                 for leg in range(4):
@@ -180,7 +182,7 @@ class WBInterface:
                     heightmaps, seeds,
                     np.asarray(hip_pos.data), np.asarray(base_pos),
                     np.mean(self._vel_hist, axis=0), self.current_contact,
-                    feet_anchor)
+                    np.asarray(feet_pos.data), own_anchor=feet_anchor)
                 # When the planner moved a touchdown substantially, RE-PLAN the
                 # remaining swing from the current foot position (the reflex
                 # re-planning machinery) instead of evaluating the stale lift-off

@@ -143,7 +143,8 @@ def make_terrain_adapter(cfg: Config):
     tp = cfg.tamols
     rows, cols = tp.heightmap_rows, tp.heightmap_cols
 
-    def adapt(terrain_h, seeds, hips, base_pos, base_vel, yaw, cur, feet):
+    def adapt(terrain_h, seeds, hips, base_pos, base_vel, yaw, cur, feet,
+              own_anchor):
         ghm = GridHeightMap(jnp.asarray(TERRAIN_CENTER, jnp.float32),
                             jnp.float32(0.0), jnp.float32(TERRAIN_RES), terrain_h)
         leg_hms = GridHeightMap(
@@ -155,7 +156,8 @@ def make_terrain_adapter(cfg: Config):
         pts = jax.vmap(GridHeightMap.cell_world_xy)(leg_hms)  # (4, rows, cols, 2)
         leg_hms = GridHeightMap(leg_hms.center, leg_hms.yaw, leg_hms.resolution,
                                 lookup_nearest(ghm, pts))
-        res = scorer(leg_hms, seeds, hips, base_pos, base_vel, cur, feet)
+        res = scorer(leg_hms, seeds, hips, base_pos, base_vel, cur, feet,
+                     own_anchor)
         td_z = lookup_nearest(ghm, res.footholds[:, :2])
         return res.footholds, td_z
 
@@ -245,7 +247,7 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
             # legs (their current kinematic position is airborne).
             feet_anchor = jnp.where(cur[:, None] == 0.0, liftoff, s.feet)
             adapted, td_z = adapt(s.terrain, ref_feet, hips, s.x[0:3], s.x[3:6],
-                                  s.x[8], cur, feet_anchor)
+                                  s.x[8], cur, s.feet, feet_anchor)
             ref_feet = jnp.where(cur[:, None] == 0.0, adapted, ref_feet)
         else:
             td_z = jnp.zeros(4, jnp.float32)

@@ -232,7 +232,7 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
         if adapt is not None:
             feet_anchor = jnp.where(cur[:, None] == 0.0, liftoff, s.feet)
             adapted, td_z = adapt(s.terrain, ref_feet, hips, s.x[0:3], s.x[3:6],
-                                  s.x[8], cur, feet_anchor)
+                                  s.x[8], cur, s.feet, feet_anchor)
             ref_feet = jnp.where(cur[:, None] == 0.0, adapted, ref_feet)
         else:
             td_z = jnp.zeros(4, jnp.float32)

@@ -275,7 +275,16 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         box = jnp.array([tp.constraint_box_dx, tp.constraint_box_dy, 0.0])
         return (fh, fh - box, fh + box, best_cost, any_feas)
 
-    def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact, feet):
+    def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact,
+              feet, own_anchor):
+        """``feet`` are the CURRENT foot positions (reference parity — they
+        feed the stability diagonal and the foot-separation exclusion, where a
+        mid-swing foot approximates its imminent landing). ``own_anchor`` is
+        each leg's foothold IDENTITY — the lift-off position for swinging legs
+        — consumed only by the gap-lattice extensions (progression cost,
+        'foot' fallback), which mean "where the leg stands", not "where it
+        floats". Anchoring the stability diagonal too was measured to break
+        trot adaptation (the diagonal PARTNER swings simultaneously)."""
         diag_feet = feet[_DIAG]
         sides = jnp.asarray(_Y_OFFSET_SIGN)
         # Per-leg (3, 3) stack of the OTHER legs' current feet.
@@ -284,7 +293,7 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         fh, lo, hi, cost, feas = jax.vmap(
             _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0)
         )(hms, seeds, hips, sides, others, base_pos, base_vel, current_contact,
-          diag_feet, feet)
+          diag_feet, own_anchor)
         return TamolsResult(fh, lo, hi, cost, feas)
 
     return jax.jit(adapt)
@@ -306,11 +315,14 @@ class TamolsPlanner:
     def reset(self):
         self.initialized = False
 
-    def compute_adaptation(self, hms, seeds, hips, base_pos, base_vel, current_contact, feet):
+    def compute_adaptation(self, hms, seeds, hips, base_pos, base_vel,
+                           current_contact, feet, own_anchor=None):
+        anchor = feet if own_anchor is None else own_anchor
         res = self.adapt_fn(hms, jnp.asarray(seeds, jnp.float32), jnp.asarray(hips, jnp.float32),
                             jnp.asarray(base_pos, jnp.float32), jnp.asarray(base_vel, jnp.float32),
                             jnp.asarray(current_contact, jnp.float32),
-                            jnp.asarray(feet, jnp.float32))
+                            jnp.asarray(feet, jnp.float32),
+                            jnp.asarray(anchor, jnp.float32))
         self.footholds_adaptation = np.asarray(res.footholds)
         self.footholds_constraints = (np.asarray(res.constraints_lo), np.asarray(res.constraints_hi))
         self.last_seeds = np.asarray(seeds)  # observability (loggers/tests)

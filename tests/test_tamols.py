@@ -63,7 +63,7 @@ def test_lookup_nearest_grid():
 def test_flat_ground_keeps_near_seed():
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.2, 0.0, 0.0]),
-                np.zeros(4), feet)
+                np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     assert np.all(np.asarray(res.feasible))
     # On flat ground the only pull is deviation/tracking: stays within a cell or two.
@@ -78,7 +78,7 @@ def test_step_edge_avoided():
                       [-0.20, 0.15, 0.0], [-0.20, -0.15, 0.0]])
     cfg, adapt, hms, seeds, hips, feet = _setup(step_edge, seeds)
     res = adapt(hms, seeds, hips, np.array([0.05, 0.0, 0.35]), np.array([0.0, 0.0, 0.0]),
-                np.zeros(4), feet)
+                np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     # The front feet moved away from the x=0.3 edge by at least ~one cell.
     assert abs(fh[0, 0] - 0.30) > 0.039
@@ -92,7 +92,7 @@ def test_stepping_stones_lands_on_stones():
     # Hips above actual stone height so kinematics stay feasible.
     hips = seeds + np.array([0.0, 0.0, 0.35])
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.1, 0.0, 0.0]),
-                np.zeros(4), feet)
+                np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     for leg in range(4):
         z = float(stones(jnp.asarray(fh[leg, 0]), jnp.asarray(fh[leg, 1])))
@@ -120,7 +120,7 @@ def test_support_margin_rejects_rim_cells():
     hips = seeds + np.array([0.0, 0.0, 0.35])
     hms = _make_hms(low_stones, seeds)
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.40]), np.array([0.1, 0.0, 0.0]),
-                np.zeros(4), seeds.copy())
+                np.zeros(4), seeds.copy(), seeds.copy())
     fh = np.asarray(res.footholds)
     assert np.all(np.asarray(res.feasible)), "stone interiors are in reach and flat"
     delta = cfg.tamols.gradient_delta
@@ -137,7 +137,7 @@ def test_support_margin_off_is_reference_parity():
     """Default (support_margin >= 1) leaves scoring bit-identical to before."""
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.zeros(3),
-                np.zeros(4), feet)
+                np.zeros(4), feet, feet)
     assert np.all(np.asarray(res.feasible))
 
 
@@ -146,7 +146,7 @@ def test_kinematic_infeasible_falls_back_to_seed():
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
     hips_far = seeds + np.array([5.0, 5.0, 5.0])
     res = adapt(hms, seeds, hips_far, np.array([0.0, 0.0, 0.35]), np.zeros(3),
-                np.zeros(4), feet)
+                np.zeros(4), feet, feet)
     assert not np.any(np.asarray(res.feasible))
     np.testing.assert_allclose(np.asarray(res.footholds)[:, :2], seeds[:, :2], atol=1e-6)
 
@@ -164,7 +164,7 @@ def test_infeasible_fallback_foot_relands_on_current_foothold():
     hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
     hms = _make_hms(flat, seeds)
     res = adapt(hms, seeds, hips + np.array([5.0, 5.0, 5.0]),
-                np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet)
+                np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet, feet)
     assert not np.any(np.asarray(res.feasible))
     np.testing.assert_allclose(np.asarray(res.footholds)[:, :2], feet[:, :2],
                                atol=1e-6)
@@ -173,9 +173,9 @@ def test_infeasible_fallback_foot_relands_on_current_foothold():
 def test_stance_legs_skip_stability():
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
     r_swing = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.5, 0.0, 0.0]),
-                    np.zeros(4), feet)
+                    np.zeros(4), feet, feet)
     r_stance = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.array([0.5, 0.0, 0.0]),
-                     np.ones(4), feet)
+                     np.ones(4), feet, feet)
     # Stability cost only applies to swing legs; costs must differ when CoM prediction
     # is far from the support line.
     assert np.all(np.asarray(r_stance.best_cost) <= np.asarray(r_swing.best_cost) + 1e-6)
@@ -183,7 +183,7 @@ def test_stance_legs_skip_stability():
 
 def test_constraint_boxes():
     cfg, adapt, hms, seeds, hips, feet = _setup(flat)
-    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet)
+    res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]), np.zeros(3), np.zeros(4), feet, feet)
     lo = np.asarray(res.constraints_lo)
     hi = np.asarray(res.constraints_hi)
     np.testing.assert_allclose(hi[:, 0] - lo[:, 0], 2 * cfg.tamols.constraint_box_dx, atol=1e-6)
@@ -216,7 +216,7 @@ def test_progression_advances_on_lattice():
     hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
     hms = _make_hms(stones, seeds, rows=19)
     res = adapt(hms, seeds, hips, np.array([-0.1, 0.2, 0.35]),
-                np.array([0.15, 0.0, 0.0]), np.zeros(4), feet)
+                np.array([0.15, 0.0, 0.0]), np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     assert np.all(np.asarray(res.feasible))
     # Every foothold advanced (roughly) one pitch from its current foot and
@@ -230,7 +230,7 @@ def test_progression_advances_on_lattice():
     cfg0 = replace_config(cfg, **{"tamols.min_advance": 0.0})
     res0 = make_tamols_scorer(cfg0, "tamols")(
         hms, seeds, hips, np.array([-0.1, 0.2, 0.35]),
-        np.array([0.15, 0.0, 0.0]), np.zeros(4), feet)
+        np.array([0.15, 0.0, 0.0]), np.zeros(4), feet, feet)
     adv0 = np.asarray(res0.footholds)[:, 0] - feet[:, 0]
     assert np.any(adv0 < 0.3), "baseline already advances; progression untested"
 
@@ -250,6 +250,6 @@ def test_progression_gate_off_on_flat():
     feet = seeds - np.array([0.15, 0.0, 0.0])  # progression would pull forward
     hms = _make_hms(flat, seeds)
     res = adapt(hms, seeds, hips, np.array([0.0, 0.0, 0.35]),
-                np.array([0.2, 0.0, 0.0]), np.zeros(4), feet)
+                np.array([0.2, 0.0, 0.0]), np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     assert np.all(np.linalg.norm(fh[:, :2] - seeds[:, :2], axis=1) < 0.1)
