@@ -251,12 +251,22 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     want_extract = method == "random_sampling"
 
     pad = _WSUB * _LANE - P
-    # Packed-elite geometry (fused cem_mppi): sub_p rows of 128 lanes per
-    # elite parameter vector, K_elite of them stacked, padded to a sublane
-    # multiple for the accumulator block shape.
+    # Packed-elite geometry (fused cem_mppi). Two layouts:
+    # * COLUMN slab (P <= 128, the production case): elites live as LANES of
+    #   one (P8, 128) slab — parameters along sublanes, elite index along
+    #   lanes. ALL K elite extractions collapse into ONE lane-contracting
+    #   dot_general (params (P, tile) x one-hots (K16, tile) -> (P, K16)),
+    #   each merge insertion is one vector select, and the sigma refit is two
+    #   lane reductions.
+    # * ROW slab (P > 128): sub_p rows of 128 lanes per elite, stacked.
     sub_p = -(-P // _LANE)
+    use_col_slab = sub_p == 1
+    P8 = -(-P // _WSUB) * _WSUB
+    K16 = -(-K_elite // _WSUB) * _WSUB
     ep_rows = K_elite * sub_p
     ep_rows_pad = -(-ep_rows // _WSUB) * _WSUB
+    slab_rows = P8 if use_col_slab else ep_rows_pad
+    sigma_rows = P8 if use_col_slab else _WSUB
 
     def kernel(seed_ref, W_ref, best_ref, state_ref, feet_ref, ref_ref, contact_ref,
                share_ref, off_ref, sigma_ref, *out_refs):
@@ -267,14 +277,11 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         pltpu.prng_seed(seed_ref[0, 0] + it_id * (G * T) + flat)
 
         # Accumulator row offsets for the fused cem_mppi elite set:
-        # [beta | Z | S | elite-cost row | PACKED elite params | sigma].
-        # Elites are packed sub_p = ceil(P/128) rows each (not a padded
-        # (8, 128) block per elite): one replace-max insertion then updates
-        # the whole elite set with a SINGLE vector select on the packed
-        # (K*sub_p, 128) array, keyed on a row-group iota.
+        # [beta | Z | S | elite-cost row | elite slab | sigma] (see the
+        # slab-layout note at the factory constants).
         ec_off = 3 * _WSUB
         ep_off = 4 * _WSUB
-        sg_off = ep_off + ep_rows_pad
+        sg_off = ep_off + slab_rows
 
         if num_chained > 1:
             # Chained iterations: the incumbent comes from the PREVIOUS
@@ -295,7 +302,18 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                     prev_blk = (acc_pre[2 * _WSUB:3 * _WSUB, :]
                                 / acc_pre[_WSUB:2 * _WSUB, :])
                 inc_ref[0:_WSUB, :] = jnp.where(it_id == 0, best_blk, prev_blk)
-                if want_cem:
+                if want_cem and use_col_slab:
+                    # Sigma rides the scratch as a lane-broadcast COLUMN
+                    # (parameters along sublanes) — the noise path consumes a
+                    # (P, 1) column directly, no relayout per tile.
+                    sig0_col = jnp.pad(
+                        jax.lax.transpose(sigma_ref[0:1, :], (1, 0)),
+                        ((0, P8 - P), (0, 0)))  # (P8, 1)
+                    col = jnp.where(it_id == 0, sig0_col,
+                                    acc_pre[sg_off:sg_off + P8, 0:1])
+                    inc_ref[_WSUB:_WSUB + P8, :] = jnp.broadcast_to(
+                        col, (P8, _LANE))
+                elif want_cem:
                     sig0_blk = jnp.pad(sigma_ref[0, :], (0, pad)).reshape(
                         _WSUB, _LANE)
                     inc_ref[_WSUB:2 * _WSUB, :] = jnp.where(
@@ -316,11 +334,14 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             noise = _normals((P, tile)) * sigma_mppi
         else:  # cem_mppi: per-parameter sigma rows broadcast over lanes
             if num_chained > 1:  # per-iteration sigma from the publish scratch
-                sig_vec = out_refs[-1][_WSUB:2 * _WSUB, :].reshape(
-                    _WSUB * _LANE)[:P]
+                if use_col_slab:
+                    sig_col = out_refs[-1][_WSUB:_WSUB + P8, 0:1][:P]  # (P, 1)
+                else:
+                    sig_col = out_refs[-1][_WSUB:2 * _WSUB, :].reshape(
+                        _WSUB * _LANE)[:P].reshape(P, 1)
             else:
-                sig_vec = sigma_ref[0, :]
-            noise = _normals((P, tile)) * sig_vec.reshape(P, 1)
+                sig_col = sigma_ref[0, :].reshape(P, 1)
+            noise = _normals((P, tile)) * sig_col
         noise = jnp.where(is_incumbent, 0.0, noise)
         if num_chained > 1:
             best_vec = out_refs[-1][0:_WSUB, :].reshape(_WSUB * _LANE)[:P]
@@ -502,7 +523,83 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 refs[2][:, :] = jnp.full((_WSUB, _LANE), z_t)
                 refs[3][:, :] = s_blk
 
-        if want_cem:
+        if want_cem and fuse_combine and use_col_slab:
+            # COLUMN-slab fast path (P <= 128). Tile-local top-K: the K
+            # sequential masked mins only COLLECT one-hot rows; all K elite
+            # parameter vectors are then gathered by a single lane-contracting
+            # dot_general on the MXU (the per-elite GEMV loop measured ~1.5 us
+            # per elite per tile — the whole cem-vs-mppi gap). A per-lane
+            # relative epsilon breaks ties (mass ties are REAL at the 1e6 cost
+            # saturation) — (cost, lane) lexicographic order like XLA top_k.
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
+                jnp.float32)
+            masked = cflat * (1.0 + 3e-7 * lane_f)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            tile_ec = []
+            oh_rows = []
+            for k in range(K_elite):
+                ck = jnp.min(masked)
+                oh = (masked == ck).astype(jnp.float32)
+                oh_rows.append(oh / jnp.sum(oh))
+                tile_ec.append(ck)
+                masked = jnp.where(masked == ck, _BIG, masked)
+            ohs = jnp.concatenate(
+                oh_rows + [jnp.zeros((K16 - K_elite, tile), jnp.float32)],
+                axis=0)  # (K16, tile)
+            eks = jax.lax.dot_general(params, ohs, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            tile_slab = jnp.pad(eks, ((0, P8 - P), (0, _LANE - K16)))
+
+            # Global elite merge riding the sequential-grid accumulator: the
+            # running top-K lives as an UNSORTED set (cost row lanes 0..K-1,
+            # parameters as LANES of one (P8, 128) slab). Replace-max
+            # insertion is exact for the top-K set; each insertion is one
+            # lane-masked column gather + one vector select.
+            acc = refs[1]
+            valid = lane < K_elite
+
+            @pl.when(flat == 0)
+            def _einit():
+                row = jnp.full((1, _LANE), _BIG)
+                for k in range(K_elite):
+                    row = jnp.where(lane == k, tile_ec[k], row)
+                acc[ec_off:ep_off, :] = jnp.broadcast_to(row, (_WSUB, _LANE))
+                acc[ep_off:ep_off + P8, :] = tile_slab
+
+            @pl.when(flat > 0)
+            def _emerge():
+                ec = acc[ec_off:ec_off + _WSUB, :][0:1, :]  # (1, _LANE)
+                slab = acc[ep_off:ep_off + P8, :]
+                for k in range(K_elite):
+                    cand_c = tile_ec[k]
+                    cmax = jnp.max(jnp.where(valid, ec, -_BIG))
+                    is_max = (ec == cmax) & valid
+                    slot = jnp.min(jnp.where(is_max, lane, 2 * _LANE))
+                    better = cand_c < cmax
+                    ec = jnp.where(better & is_max & (lane == slot), cand_c, ec)
+                    cand_col = jnp.sum(jnp.where(lane == k, tile_slab, 0.0),
+                                       axis=1, keepdims=True)  # (P8, 1)
+                    slab = jnp.where(better & (lane == slot), cand_col, slab)
+                acc[ec_off:ep_off, :] = jnp.broadcast_to(ec, (_WSUB, _LANE))
+                acc[ep_off:ep_off + P8, :] = slab
+
+            @pl.when(flat == G * T - 1)
+            def _esigma():
+                # Sigma refit from the merged global elites (reference
+                # centroidal_nmpc_jax.py:1075-1081: std of the top-K
+                # parameters, clamped) — two lane reductions. Stored as a
+                # lane-broadcast COLUMN (parameters along sublanes); readers
+                # use lane 0.
+                slab = acc[ep_off:ep_off + P8, :]
+                vm = valid.astype(jnp.float32)
+                mean = jnp.sum(slab * vm, axis=1, keepdims=True) / K_elite
+                dev = (slab - mean) * vm
+                var = jnp.sum(dev * dev, axis=1, keepdims=True) \
+                    / (K_elite - 1.0) + 1e-8
+                sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)  # (P8, 1)
+                acc[sg_off:sg_off + P8, :] = jnp.broadcast_to(sig, (P8, _LANE))
+
+        elif want_cem:
             # Tile-local top-K by iterative masked min (K one-hot matvecs).
             # A per-lane relative epsilon breaks ties (mass ties are REAL at the
             # 1e6 cost saturation), so each masked min removes exactly one sample
@@ -613,8 +710,8 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     ]
     if fuse_combine:
         # One resident accumulator block: [scalars | winner-or-S | ext-or-Z],
-        # extended for cem_mppi with [elite costs | packed elites | sigma].
-        acc_rows = (4 * _WSUB + ep_rows_pad + _WSUB if method == "cem_mppi"
+        # extended for cem_mppi with [elite costs | elite slab | sigma].
+        acc_rows = (4 * _WSUB + slab_rows + sigma_rows if method == "cem_mppi"
                     else 3 * _WSUB)
         out_shapes += [
             jax.ShapeDtypeStruct((acc_rows, _LANE), jnp.float32),
@@ -683,8 +780,8 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         # Incumbent block for chained iterations: VMEM scratch persists across
         # the sequential grid, so iteration i's tiles read what iteration i's
         # first tile published ([incumbent] — plus [sigma] for cem_mppi).
-        scratch_shapes=([pltpu.VMEM(((2 if method == "cem_mppi" else 1) * _WSUB,
-                                     _LANE), jnp.float32)]
+        scratch_shapes=([pltpu.VMEM((_WSUB + (sigma_rows if method == "cem_mppi"
+                                              else 0), _LANE), jnp.float32)]
                         if num_chained > 1 else []),
     )
 
@@ -723,8 +820,11 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             s_vec = acc[2 * _WSUB:3 * _WSUB].reshape(-1)[:P]
             sigma_out = None
             if want_cem:
-                sg0 = 4 * _WSUB + ep_rows_pad
-                sigma_out = acc[sg0:sg0 + _WSUB].reshape(-1)[:P]
+                sg0 = 4 * _WSUB + slab_rows
+                if use_col_slab:
+                    sigma_out = acc[sg0:sg0 + P8, 0][:P]
+                else:
+                    sigma_out = acc[sg0:sg0 + _WSUB].reshape(-1)[:P]
             return FusedIterationOutputs(costs, beta, s_vec / z_all, None,
                                          None, None, sigma_out)
         winners = outs[1].reshape(GT, _WSUB * _LANE)[:, :P]
