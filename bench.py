@@ -139,6 +139,7 @@ def main():
     pallas_ms = pallas.get("random_sampling")
     tamols_ms = bench_tamols(cfg)
     wb_ms = bench_wb_tick(cfg)
+    fleet_sps = bench_fleet(cfg)
     headline = min(per_solve_ms, pallas_ms) if pallas_ms else per_solve_ms
 
     # Speed-of-light accounting for the fused rollout: ~430 f32 FLOPs per
@@ -189,6 +190,11 @@ def main():
                                    else None),
         "tamols_score_ms": r4(tamols_ms),
         "wb_swing_ik_tick_ms": r4(wb_ms),
+        "fleet_scenario_steps_per_s": (round(fleet_sps, 1)
+                                       if fleet_sps is not None else None),
+        "fleet_note": ("64 on-device closed-loop MPC scenarios with perlin "
+                       "terrain, fused TAMOLS and the reflex analogue, one "
+                       "chip"),
         "rollout_sample_steps_per_s": round(sample_steps_per_s, 0),
         "est_vpu_utilization": round(vpu_util, 4),
         "device": str(jax.devices()[0]),
@@ -401,6 +407,45 @@ def bench_wb_tick(cfg):
         jax.block_until_ready(chain(jnp.float32(0.0)))
         return best_of(lambda: jax.block_until_ready(chain(jnp.float32(0.0))), CHAIN)
     except Exception:
+        return None
+
+
+def bench_fleet(cfg):
+    """On-device scenario-fleet throughput (SURVEY P3): vmapped closed-loop
+    MPC scenarios — gait timing, Raibert + fused TAMOLS footholds against
+    per-scenario PERLIN heightfields, sampling solve, SRB physics, kinematic
+    swing feet with the early-stance reflex analogue — chained on one chip.
+    Returns scenario-steps/s (64 scenarios x 25 chained control ticks)."""
+    try:
+        from quadruped_pympc_tamols_tpu.parallel import (
+            init_scenario_state,
+            make_scenario_step,
+            make_terrain_generator,
+        )
+
+        fcfg = replace_config(cfg, **{"mpc.sampling.num_samples": 128})
+        B, CH = 64, 25
+        step, P = make_scenario_step(fcfg, num_samples=128, terrain="perlin",
+                                     reflexes=True)
+        gen = make_terrain_generator("perlin")
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        states = jax.vmap(lambda k: init_scenario_state(fcfg, P, k, gen))(keys)
+        cmd = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
+
+        @jax.jit
+        def chain(s):
+            def body(_, s):
+                s2, _ = jax.vmap(step, in_axes=(0, None))(s, cmd)
+                return s2
+            return jax.lax.fori_loop(0, CH, body, s)
+
+        jax.block_until_ready(chain(states))
+        ms_per_fleet_step = best_of(
+            lambda: jax.block_until_ready(chain(states)), CH)
+        return B * 1e3 / ms_per_fleet_step
+    except Exception:
+        import traceback
+        traceback.print_exc()
         return None
 
 
