@@ -83,6 +83,7 @@ class WBInterface:
 
         self.current_contact = np.ones(4)
         self._last_td_targets = None  # (4, 3) swing touchdown targets
+        self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
         self.previous_contact = np.ones(4)
         self.last_des_foot_pos = Legs.zeros((3,))
         # Moving-average base velocity for the foothold planner: the raw MuJoCo
@@ -143,6 +144,14 @@ class WBInterface:
                         and feet_arr[leg, 2] > self._last_td_targets[leg, 2] \
                         + cfg.sim.late_touchdown_hold:
                     self.current_contact[leg] = 0.0
+                    # Latch: while held, the MPC sees the timer's all-stance
+                    # sequence and reports the AIRBORNE foot as this leg's
+                    # "foothold" — without the latch that poisons the hold's
+                    # own target one tick later and releases it mid-air
+                    # (measured).
+                    self._hold_active[leg] = True
+                else:
+                    self._hold_active[leg] = False
 
         self.frg.update_lift_off_positions(self.previous_contact, self.current_contact,
                                            feet_pos, self.pgg.gait_type, base_pos,
@@ -258,8 +267,14 @@ class WBInterface:
     ):
         """Returns (tau: Legs, des_joints_pos: Legs, des_joints_vel: Legs)."""
         # Remember the swing touchdown targets for the late-touchdown hold
-        # (next tick's update_state_and_reference).
-        self._last_td_targets = np.asarray(nmpc_footholds.data, np.float64).copy()
+        # (next tick's update_state_and_reference); legs currently HELD keep
+        # their latched target (see the hold block).
+        new_td = np.asarray(nmpc_footholds.data, np.float64)
+        if self._last_td_targets is None:
+            self._last_td_targets = new_td.copy()
+        else:
+            keep = self._hold_active[:, None]
+            self._last_td_targets = np.where(keep, self._last_td_targets, new_td)
         if optimize_swing == 1:
             self.pgg.step_freq = float(best_sample_freq)
             self.frg.stance_time = self.pgg.duty_factor / self.pgg.step_freq
@@ -415,5 +430,6 @@ class WBInterface:
         self.esd.reset()
         self.current_contact = np.ones(4)
         self._last_td_targets = None  # (4, 3) swing touchdown targets
+        self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
         self.previous_contact = np.ones(4)
         self._vel_hist.clear()
