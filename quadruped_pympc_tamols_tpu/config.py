@@ -272,6 +272,15 @@ class GradientParams:
     trot_stability_margin: float = 0.04
     pace_stability_margin: float = 0.1
     crawl_stability_margin: float = 0.04
+    # L1/L2 penalty weights of the SOFT constraint rows (acados zl/Zl,
+    # reference centroidal_nmpc_nominal.py:147-163; defaults are the
+    # reference's). Tunable per deployment: at zl=1000 an active stability row
+    # is near-hard — once the IPM's soft path became f64-accurate (the
+    # w_cap/lam0 fix, see qp.py) configurations tuned against the old
+    # under-enforced solver needed their slack weights re-tuned rather than
+    # relying on solver mushiness (measured: the chasm crawl's ZMP band).
+    slack_l1: float = 1000.0
+    slack_l2: float = 1.0
     use_input_prediction: bool = False
     external_wrenches_compensation: bool = True
     external_wrenches_compensation_num_step: int = 15

@@ -550,7 +550,8 @@ def make_variant_solver(cfg: Config, spec: VariantSpec, return_assembler: bool =
     def _gn_step(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w):
         Hm, g, Cb, d = _build_qp(x0, Ubar, feet_traj, contact_seq, Xref, Uref, w)
         if use_soft:
-            sol = soft_qp_solve(Hm, g, Cb, d, S_big, solver=qp_fn, iters=iters)
+            sol = soft_qp_solve(Hm, g, Cb, d, S_big, zl=gp.slack_l1,
+                                Zl=gp.slack_l2, solver=qp_fn, iters=iters)
         else:
             sol = qp_fn(Hm, g, Cb, d, iters=iters)
         return Ubar + sol.z.reshape(H, nu), sol

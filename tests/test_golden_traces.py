@@ -142,7 +142,8 @@ def _tamols_case():
     res = adapt(hms, jnp.asarray(seeds, jnp.float32), jnp.asarray(hips, jnp.float32),
                 jnp.asarray([0.2, 0.0, 0.32], jnp.float32),
                 jnp.asarray([0.25, 0.0, 0.0], jnp.float32),
-                jnp.zeros(4, jnp.float32), jnp.asarray(feet, jnp.float32))
+                jnp.zeros(4, jnp.float32), jnp.asarray(feet, jnp.float32),
+                jnp.asarray(feet, jnp.float32))
     return {"footholds": np.asarray(res.footholds),
             "best_cost": np.asarray(res.best_cost),
             "feasible": np.asarray(res.feasible).astype(np.float32)}
