@@ -211,3 +211,67 @@ def test_logger_sigint_flush(tmp_path):
     assert _os.path.exists(path)
     assert np.allclose(np.load(path)["x"][0], [0, 1, 2])
     signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_late_touchdown_hold_defers_stance_flip():
+    """sim.late_touchdown_hold: a timer swing->stance flip is refused while the
+    foot is still above its touchdown target by more than the hold distance,
+    and the latched target is immune to the airborne-foothold feedback (the
+    MPC reports the held leg's airborne position as its foothold — without the
+    latch that poisoned the comparison and released the hold mid-air)."""
+    import numpy as np
+
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.interfaces.wb_interface import WBInterface
+    from quadruped_pympc_tamols_tpu.utils.legs import Legs
+
+    cfg = make_config("aliengo", **{"sim.late_touchdown_hold": 0.06,
+                                    "sim.visual_foothold_adaptation": "blind"})
+    feet0 = Legs(np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                           [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]]))
+    wb = WBInterface(cfg, feet0)
+    hips = Legs(np.asarray(feet0.data) + np.array([0.0, 0.0, 0.35]))
+    joints = Legs.zeros((3,))
+
+    def tick(feet):
+        wb.update_state_and_reference(
+            com_pos=np.array([0.0, 0.0, 0.35]), base_pos=np.array([0.0, 0.0, 0.35]),
+            base_lin_vel=np.array([0.2, 0.0, 0.0]), base_ori_euler_xyz=np.zeros(3),
+            base_ang_vel=np.zeros(3), feet_pos=feet, hip_pos=hips,
+            joints_pos=joints, heightmaps=None, simulation_dt=0.002,
+            ref_base_lin_vel=np.array([0.2, 0.0, 0.0]),
+            ref_base_ang_vel=np.zeros(3))
+
+    # Targets on the ground for every leg.
+    wb._last_td_targets = np.asarray(feet0.data, np.float64).copy()
+
+    # Walk the gait timer until some leg swings, with its physical foot HIGH.
+    held_seen = False
+    for _ in range(3000):
+        feet_arr = np.asarray(feet0.data).copy()
+        swing = np.where(wb.current_contact == 0)[0]
+        for leg in swing:
+            feet_arr[leg, 2] = 0.25  # far above the target
+        tick(Legs(feet_arr))
+        # Any timer flip for a high foot must have been refused.
+        for leg in range(4):
+            if wb._hold_active[leg]:
+                held_seen = True
+                assert wb.current_contact[leg] == 0.0
+                # Latched target survives an airborne-foothold update.
+                old = wb._last_td_targets[leg].copy()
+                poison = np.asarray(feet0.data, np.float64).copy()
+                poison[leg, 2] = 0.25
+                new_td = np.where(wb._hold_active[:, None],
+                                  wb._last_td_targets, poison)
+                np.testing.assert_allclose(new_td[leg], old)
+        if held_seen:
+            break
+    assert held_seen, "the hold never engaged over a full gait cycle"
+
+    # The held leg flips to stance once the foot reaches its target height.
+    held = int(np.where(wb._hold_active)[0][0])
+    feet_arr = np.asarray(feet0.data).copy()
+    tick(Legs(feet_arr))  # foot back on the ground
+    assert wb.current_contact[held] == 1.0
+    assert not wb._hold_active[held]
