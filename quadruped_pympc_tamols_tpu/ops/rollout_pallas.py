@@ -13,8 +13,11 @@ One kernel instance per sample tile performs, entirely in VMEM:
   * random_sampling: tile argmin + one-hot winner extraction;
   * mppi: tile min + softmax partials (Z_t, S_t) relative to the tile's own min,
     combined exactly across tiles with the log-sum-exp shift (mppi_combine);
-  * cem_mppi: mppi partials + the tile's top-K elite costs/parameters (iterative
-    masked-min), reduced to the exact global top-K outside the kernel.
+  * cem_mppi: mppi partials + the tile's top-K elites — under fuse_combine the
+    EXACT global top-K merge and the elite sigma refit also run in-kernel
+    (column-slab elites in the sequential-grid accumulator, one
+    lane-contracting matmul gathers all K elite vectors); the non-fused path
+    (gait-adaptive groups) still reduces per-tile elites outside the kernel.
 
 Only O(tiles) scalars and O(tiles * P) vectors leave VMEM per iteration — no
 (N, P) noise tensor or (H, 12, N) force tensor ever touches HBM, which is the
