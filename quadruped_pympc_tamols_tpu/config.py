@@ -299,6 +299,16 @@ class GradientParams:
     qp_iters_speed: int = 10
     qp_iters_crazy_speed: int = 5
     levenberg_marquardt: float = 1e-3
+    # Per-leg minimum normal force [N] on STANCE legs (hard rows in the
+    # friction-cone block; swing legs keep fz >= grf_min = 0). On sparse
+    # terrain the optimizer otherwise unloads a stone foot to near-zero normal
+    # force during weight transfers, where any lateral force request exits the
+    # friction cone and the foot slides off the stone (round-4 chasm
+    # postmortem measured stance feet sliding up to 9 cm across their stones
+    # during roll onsets). A floor of ~10-20 N keeps every planted foot's cone
+    # open. 0 = reference parity (no such constraint in acados' cone rows,
+    # centroidal_nmpc_nominal.py:430-499).
+    stance_min_force: float = 0.0
     # Riccati backward pass for the DDP solver: 'sequential' (O(H) scan),
     # 'associative' (O(log H)-depth associative scan, SURVEY 2.7/P5 — the
     # parallel-in-time formulation in parallel_riccati.py), or 'auto'
@@ -318,6 +328,18 @@ class TamolsParams:
     # moves the touchdown > 3 cm (otherwise the foot descends on the stale
     # lift-off curve and lands short of the moved target).
     retarget_swing: bool = True
+    # Flight-time-aware reach model (round-4 chasm postmortem: the planner
+    # happily selected a column-2 stone 0.4 m away with 0.2 s of swing left,
+    # and the executed hop landed ~20 cm short). When > 0, a candidate is
+    # HARD-infeasible for a swinging leg unless the remaining swing time can
+    # physically close the xy distance from the foot's CURRENT position at
+    # this achievable mean foot speed [m/s]; stance legs are gated with the
+    # full swing period (their swing starts fresh). An all-infeasible result
+    # falls through to tamols.fallback, i.e. "can't reach anything safe in
+    # time -> land on known ground now, hop NEXT swing with full time".
+    # <= 0 disables (reference parity: the reference's reach constraint is
+    # leg-length only, visual_foothold_adaptation.py:375-395).
+    max_foot_speed: float = 0.0
     # Candidate search radius around the seed foothold: heightmap cells beyond
     # it are infeasible (reference visual_foothold_adaptation.py:245-259 builds
     # its grid within this radius). search_resolution is that grid's step; here
@@ -499,6 +521,18 @@ class SimParams:
     # touchdown point stays in SWING (the swing clock saturates, so the
     # controller keeps pressing it down onto the target) until it closes in.
     late_touchdown_hold: float = 0.0
+    # Reach-aware swing command clamp (fraction of the leg's PHYSICAL reach
+    # sqrt(hip_offset_y^2 + (thigh+calf)^2); <= 0 disables = reference parity).
+    # A swing target just outside the reachable sphere of the CURRENT hip
+    # drives the knee into its joint limit at full extension, and the limit
+    # impulse + saturated PD fling the foot (round-4/5 chasm traces: a clean
+    # 0.41 m hop tracked to 2 cm, then the foot left at ~6 m/s the tick the
+    # hip-to-command distance crossed the linkage length; the planner's
+    # l_max=0.55 reach gate mirrors the reference and exceeds the real 0.50 m
+    # linkage). Clamping the COMMAND to the sphere makes the foot press at the
+    # boundary instead — as the base advances, the sphere sweeps forward and
+    # the touchdown completes (the late-touchdown hold covers the timer).
+    swing_reach_clamp: float = 0.0
     reflex_trigger_mode: str = "tracking"  # 'tracking'|'geom_contact'|'off'
     reflex_max_step_height: float = 0.175  # 0.5*hip_height
     velocity_modulator: bool = True

@@ -175,13 +175,19 @@ def condensed_cost(Fm, Gm, xbar, x0, Xref, Uref, Ubar, q_diag, r_diag, dims: OCP
     return Hm, g
 
 
-def friction_cone_rows(mu, grf_min, grf_max, contact_seq, dims: OCPDims):
+def friction_cone_rows(mu, grf_min, grf_max, contact_seq, dims: OCPDims,
+                       stance_min_force: float = 0.0):
     """Per-stage inequality C_k u_k <= d_k (6 rows per leg: fz bounds + 4 cone rows,
     reference friction-cone h-constraints centroidal_nmpc_nominal.py:430-499).
 
     For swing legs the fz upper bound collapses toward 0 so sampled forces stay off
     (their forces do not enter the dynamics anyway; the reference achieves this by
     zeroing references and masking in the model).
+
+    ``stance_min_force`` raises the per-leg fz LOWER bound to this value on
+    stance stages only (config gradient.stance_min_force — keeps lightly loaded
+    feet's friction cones open during weight transfers on sparse terrain; swing
+    legs keep fz >= grf_min).
 
     Returns C (H, 24, nu), d (H, 24).
     """
@@ -202,7 +208,8 @@ def friction_cone_rows(mu, grf_min, grf_max, contact_seq, dims: OCPDims):
     fz_max = grf_max * contact_seq.T + 1e-3  # (H, 4): ~0 for swing legs
     d = jnp.zeros((H, 24))
     for leg in range(4):
-        d = d.at[:, leg * 6 + 0].set(-grf_min)
+        d = d.at[:, leg * 6 + 0].set(
+            -(grf_min + stance_min_force * contact_seq.T[:, leg]))
         d = d.at[:, leg * 6 + 1].set(fz_max[:, leg])
     return C, d
 

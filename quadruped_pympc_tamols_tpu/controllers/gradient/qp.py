@@ -73,7 +73,11 @@ def pdip_solve(Hm, g, C, d, iters: int = 18, reg: float = 1e-7, sigma: float = 0
         if w_cap > 1e5:
             # Jacobi equilibration: at stiff caps K spans ~10 orders of
             # magnitude and the raw f32 Cholesky can lose positive-
-            # definiteness. Exact in exact arithmetic.
+            # definiteness. The + I here re-adds reg on the UNIT-diagonal
+            # scaled matrix — i.e. deliberate reg-RELATIVE damping
+            # (reg*diag(K) in the unscaled space) that keeps the f32
+            # factorization positive definite; the f64 ladder bounds the
+            # resulting bias (ADVICE r4 flagged the old 'exact' claim).
             Dinv = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(K), 1e-12))
             L = jnp.linalg.cholesky(K * Dinv[:, None] * Dinv[None, :] + I)
             dz = Dinv * jax.scipy.linalg.cho_solve((L, True), Dinv * rhs)

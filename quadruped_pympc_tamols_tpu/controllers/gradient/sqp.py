@@ -167,7 +167,8 @@ def make_rti_solver_split(cfg: Config, integrator: str = "euler",
 
     def _stage_d(contact_seq):
         _, d = friction_cone_rows(cfg.mpc.mu, cfg.mpc.grf_min, cfg.mpc.grf_max,
-                                  contact_seq, dims)
+                                  contact_seq, dims,
+                                  stance_min_force=gp.stance_min_force)
         return d.reshape(-1)  # (24H,)
 
     def _objective(x0, U, feet_traj, contact_seq, Xref, Uref, wrench, p):

@@ -74,13 +74,16 @@ def _add_wrench(d, x, wk, srbd):
     return d.at[9:12].add(jnp.asarray(srbd.inertia_inv) @ tau_b)
 
 
-def _cone_residual(f12, contact, fz_max, mu, grf_min):
-    """Friction-cone + fz-bound residuals for a 12-vector of GRFs: 6 rows/leg."""
+def _cone_residual(f12, contact, fz_max, mu, grf_min, stance_min: float = 0.0):
+    """Friction-cone + fz-bound residuals for a 12-vector of GRFs: 6 rows/leg.
+
+    ``stance_min`` (config gradient.stance_min_force) raises the fz lower bound
+    on STANCE legs only — swing legs keep fz >= grf_min."""
     rows = []
     for leg in range(4):
         fx, fy, fz = f12[leg * 3], f12[leg * 3 + 1], f12[leg * 3 + 2]
         rows += [
-            grf_min - fz,
+            grf_min + stance_min * contact[leg] - fz,
             fz - fz_max[leg],
             fx - mu * fz,
             -fx - mu * fz,
@@ -94,6 +97,7 @@ def _cone_residual(f12, contact, fz_max, mu, grf_min):
 def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     """GRFs in the state, inputs are GRF rates (reference input_rates family)."""
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     q = np.concatenate([q_diag_gradient(), r_diag_gradient(cfg.robot.name)])  # force states
     # Rate cost: stance transitions need O(1e3 N/s) ramps (100 N over a few stages),
     # so the weight must keep rate^2 * r well below the state-error terms or the
@@ -106,7 +110,7 @@ def make_input_rates_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return jnp.concatenate([base + dt * d, f + dt * u])
 
     def stage_ineq(x, u, contact, fz_max, feet, k):
-        return _cone_residual(x[12:], contact, fz_max, mu, grf_min)
+        return _cone_residual(x[12:], contact, fz_max, mu, grf_min, smf)
 
     return VariantSpec("input_rates", 24, 12, dynamics, stage_ineq, 24, q, r,
                        grfs_of=lambda u, x: x[12:], lm_scale=1e-3)
@@ -121,6 +125,7 @@ def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
     when passive_arm_compensation the predicted wrench enters the dynamics (:266-271).
     """
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     Kx, Ky, _ = arm_stiffness
     K_yaw = 5.0
     # passive_arm_compensation (config.py:163, reference
@@ -147,7 +152,7 @@ def make_collaborative_spec(cfg: Config, srbd: SRBDParams,
         return jnp.concatenate([base + dt * d, w_arm + dt * w_dot])
 
     def stage_ineq(x, u, contact, fz_max, feet, k):
-        return _cone_residual(u, contact, fz_max, mu, grf_min)
+        return _cone_residual(u, contact, fz_max, mu, grf_min, smf)
 
     return VariantSpec("collaborative", 18, 12, dynamics, stage_ineq, 24, q, r,
                        grfs_of=lambda u, x: u)
@@ -158,6 +163,7 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     eta^T eta <= ub constraints (reference lyapunov family)."""
     gp = cfg.mpc.gradient
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     K1 = np.asarray(gp.K_z1, np.float32)
     K2 = np.asarray(gp.K_z2, np.float32)
     ub_res = gp.residual_dynamics_upper_bound
@@ -190,7 +196,7 @@ def make_lyapunov_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
                                 phi + dt * phi_dot])
 
     def stage_ineq(x, u, contact, fz_max, feet, k):
-        cone = _cone_residual(u, contact, fz_max, mu, grf_min)
+        cone = _cone_residual(u, contact, fz_max, mu, grf_min, smf)
         z1, z2 = x[12:15], x[15:18]
         F_delta = jnp.sum(u.reshape(4, 3) * contact[:, None], axis=0)
         # V_dot <= 0 (controller :299-328).
@@ -220,6 +226,7 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
     kin = LegKinematics(cfg.robot)
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     side = np.asarray(SIDE_SIGN)
     hip_off = kin.hip_offsets_b  # (4,3) numpy
 
@@ -242,7 +249,7 @@ def make_kinodynamic_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
     def stage_ineq(x, u, contact, fz_max, feet_unused, k):
         qd, grf = u[:12], u[12:]
-        cone = _cone_residual(grf, contact, fz_max, mu, grf_min)
+        cone = _cone_residual(grf, contact, fz_max, mu, grf_min, smf)
         # Stance-foot world velocity ~ 0: v = d(feet)/dt along the trajectory.
         base, q12 = x[:12], x[12:]
 
@@ -275,6 +282,7 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     box emission, visual_foothold_adaptation.py:213-222 and controller :384-427)."""
     gp = cfg.mpc.gradient
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     hw_x, hw_y = gp.foothold_box_halfwidth
     use_stab = gp.use_static_stability or gp.use_zmp_stability
     support_residual, n_stab = make_support_residual(cfg, srbd)
@@ -300,7 +308,7 @@ def make_foothold_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
 
     def stage_ineq(x, u, contact, fz_max, feet_aux, k):
         feet_ref = feet_aux[:, :3]
-        cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min)
+        cone = _cone_residual(u[12:], contact, fz_max, mu, grf_min, smf)
         rows = [cone]
         if gp.use_foothold_constraints:
             feet = x[12:].reshape(4, 3)
@@ -427,6 +435,7 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
     stability constraints (see make_support_residual)."""
     gp = cfg.mpc.gradient
     mu, grf_min = cfg.mpc.mu, cfg.mpc.grf_min
+    smf = cfg.mpc.gradient.stance_min_force
     use_stab = gp.use_static_stability or gp.use_zmp_stability
     support_residual, n_stab = make_support_residual(cfg, srbd)
 
@@ -435,7 +444,7 @@ def make_nominal_spec(cfg: Config, srbd: SRBDParams) -> VariantSpec:
         return x + dt * _add_wrench(d, x, wk, srbd)
 
     def stage_ineq(x, u, contact, fz_max, feet, k):
-        cone = _cone_residual(u, contact, fz_max, mu, grf_min)
+        cone = _cone_residual(u, contact, fz_max, mu, grf_min, smf)
         if not use_stab:
             return cone
         return jnp.concatenate([cone, support_residual(x, u, contact, feet)])

@@ -51,7 +51,7 @@ def _bernstein6(s):
 
 
 def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_down,
-                      liftoff_boost: float = 0.0):
+                      liftoff_boost: float = 0.0, v0=None, v0_mask=None):
     """Desired foot (pos, vel, acc) on the degree-6 Bezier swing curve.
 
     Args:
@@ -65,6 +65,14 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
             drags the toe at stone-top height across the stone's own far rim
             (measured ~7 cm z tracking lag in early swing). P3 is compensated so
             the apex height stays exactly step_height. 0 = reference parity.
+        v0: optional (..., 3) INITIAL VELOCITY of the curve — velocity-matched
+            re-planning (a planner retarget mid-swing otherwise commands an
+            instantaneous velocity step, and the discontinuity flings the foot
+            at the calibrated swing gains; round-4 chasm postmortem). Where
+            ``v0_mask`` is set it replaces the boost-derived start (P1 = P0 +
+            v0 T/6, P2 = P0 + v0 T/3: v(0) = v0, a(0) = 0), with the same
+            midpoint compensation so the apex height is preserved.
+        v0_mask: (...,) 1.0 where ``v0`` applies, 0.0 for the boost start.
 
     Returns:
         (pos, vel, acc), each (..., 3). Broadcasts over legs/batches.
@@ -76,16 +84,23 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
     # step_height may be scalar or per-leg (...,) (the fleet's reflex analogue
     # raises individual legs' apexes); keep the boost terms broadcast-safe.
     d = jnp.asarray(liftoff_boost * step_height, jnp.float32)
+    up = jnp.zeros_like(p0).at[..., 2].set(1.0)
+    # e = v(0) * T: the boost start is e = 3 d z_hat (v(0) = 6 (P1 - P0)/T).
+    e = 3.0 * d[..., None] * up
+    if v0 is not None:
+        e_v = v0 * jnp.asarray(swing_period)[..., None]
+        m = jnp.asarray(v0_mask)[..., None]
+        e = m * e_v + (1.0 - m) * e
     z_mid = jnp.maximum(p0[..., 2], pf[..., 2]) + step_height
-    # Midpoint: z(0.5) = (p0 + 6 p1 + 15 p2 + 20 p3 + 22 pf)/64 with the raised
-    # P1/P2 contributing an extra 18 d/64 — folded into p3_z.
-    p3_z = (64.0 * z_mid - 22.0 * p0[..., 2] - 22.0 * pf[..., 2]) / 20.0 - 18.0 * d / 20.0
+    # Midpoint: z(0.5) = (p0 + 6 p1 + 15 p2 + 20 p3 + 22 pf)/64 with the shifted
+    # P1/P2 contributing an extra 6 e_z/64 — folded into p3_z.
+    p3_z = (64.0 * z_mid - 22.0 * p0[..., 2] - 22.0 * pf[..., 2]) / 20.0 \
+        - 6.0 * e[..., 2] / 20.0
     p3 = jnp.concatenate(
         [0.5 * (p0[..., :2] + pf[..., :2]), p3_z[..., None]], axis=-1
     )
-    up = jnp.zeros_like(p0).at[..., 2].set(1.0)
-    p1 = p0 + 0.5 * d[..., None] * up
-    p2 = p0 + d[..., None] * up
+    p1 = p0 + e / 6.0
+    p2 = p0 + e / 3.0
     # Control points (..., 7, 3): [p0, p1, p2, p3, pf, pf, pf]
     cp = jnp.stack([p0, p1, p2, p3, pf, pf, pf], axis=-2)
 
@@ -151,12 +166,14 @@ def _bernstein6_np(s):
 
 
 def swing_refs_np(generator, swing_time, swing_period, step_height, lift_off,
-                  touch_down, liftoff_boost: float = 0.0):
+                  touch_down, liftoff_boost: float = 0.0, v0=None, v0_mask=None):
     """numpy host twin of bezier/explicit swing refs, vectorized over legs.
 
     The per-tick swing math is ~1k scalar FLOPs; on TPU a chain of (4,3)-shaped ops
     is latency-bound (~1.4 ms device time measured), so the host computes it in ~10 us
     with zero device round trips. All args (4,)/(4,3); per-leg periods supported.
+    ``v0``/``v0_mask`` (4, 3)/(4,): velocity-matched curve starts per leg (see
+    bezier_swing_refs).
     """
     t = np.asarray(swing_time, np.float64)
     period = np.asarray(swing_period, np.float64)
@@ -185,13 +202,18 @@ def swing_refs_np(generator, swing_time, swing_period, step_height, lift_off,
                 np.where(f, au, ad) / (half * half)[..., None])
     s = np.clip(t / period, 0.0, 1.0)
     d = liftoff_boost * sh
-    z_mid = np.maximum(p0[:, 2], pf[:, 2]) + sh
-    p3_z = (64.0 * z_mid - 22.0 * p0[:, 2] - 22.0 * pf[:, 2]) / 20.0 - 18.0 * d / 20.0
-    p3 = np.concatenate([0.5 * (p0[:, :2] + pf[:, :2]), p3_z[:, None]], axis=1)
     up = np.zeros_like(p0)
     up[:, 2] = 1.0
-    p1 = p0 + (0.5 * d * up if np.ndim(d) == 0 else 0.5 * d[:, None] * up)
-    p2 = p0 + (d * up if np.ndim(d) == 0 else d[:, None] * up)
+    # e = v(0) * T; boost start is e = 3 d z_hat (see bezier_swing_refs).
+    e = (3.0 * d * up if np.ndim(d) == 0 else 3.0 * d[:, None] * up)
+    if v0 is not None:
+        m = np.asarray(v0_mask, np.float64)[:, None]
+        e = m * (np.asarray(v0, np.float64) * period[..., None]) + (1.0 - m) * e
+    z_mid = np.maximum(p0[:, 2], pf[:, 2]) + sh
+    p3_z = (64.0 * z_mid - 22.0 * p0[:, 2] - 22.0 * pf[:, 2]) / 20.0 - 6.0 * e[:, 2] / 20.0
+    p3 = np.concatenate([0.5 * (p0[:, :2] + pf[:, :2]), p3_z[:, None]], axis=1)
+    p1 = p0 + e / 6.0
+    p2 = p0 + e / 3.0
     cp = np.stack([p0, p1, p2, p3, pf, pf, pf], axis=1)  # (4, 7, 3)
     b, db, d2b = _bernstein6_np(s)
     pos = np.einsum("li,lij->lj", b, cp)
@@ -292,12 +314,25 @@ class SwingTrajectoryController:
         # remaining swing from this point, same mechanism as reflex re-planning.
         self.retarget_points: list = [None] * 4
         self.retarget_moments = [-1.0] * 4
+        # Velocity-matched retargets: start the re-planned curve at this
+        # velocity (None = the reference's v=0 clamp) and optionally override
+        # its apex height (None = step_height above the new start — which near
+        # the apex commands a fresh full-height climb from wherever the foot
+        # already is; the round-4 chasm postmortem measured the resulting
+        # command discontinuity flinging the foot to z=0.36).
+        self.retarget_vels: list = [None] * 4
+        self.retarget_apexes: list = [None] * 4
 
-    def retarget(self, leg_id, from_point, at_moment):
+    def retarget(self, leg_id, from_point, at_moment, velocity=None, apex=None):
         """Re-plan leg_id's remaining swing from ``from_point`` (reached at
-        ``at_moment`` into the swing) toward the (new) touchdown target."""
+        ``at_moment`` into the swing) toward the (new) touchdown target.
+        ``velocity`` (3,) starts the curve velocity-matched; ``apex`` overrides
+        the re-planned curve's apex height above max(start_z, touchdown_z)."""
         self.retarget_points[leg_id] = np.asarray(from_point, np.float64).copy()
         self.retarget_moments[leg_id] = float(at_moment)
+        self.retarget_vels[leg_id] = (None if velocity is None
+                                      else np.asarray(velocity, np.float64).copy())
+        self.retarget_apexes[leg_id] = None if apex is None else float(apex)
 
     def regenerate_swing_trajectory_generator(self, step_height, swing_period):
         self.step_height = step_height
@@ -306,27 +341,36 @@ class SwingTrajectoryController:
     # -- trajectory ---------------------------------------------------------
     def compute_trajectory_references(self, swing_time, lift_off, touch_down,
                                       hitmoment=-1.0, hitpoint=None,
-                                      hit_step_height=None):
+                                      hit_step_height=None, hit_velocity=None):
         """Per-leg desired (pos, vel, acc). Reflex re-planning: when an early-stance
         hitpoint exists, restart the curve from the hitpoint with a raised apex and the
         remaining time compressed (reference scipy_swing_trajectory_generator.py:25-47).
         ``hit_step_height`` overrides the re-plan apex (reflex_max by default;
-        planner re-targets pass the normal step height)."""
+        planner re-targets pass a continuity-preserving apex). ``hit_velocity``
+        starts the re-planned curve velocity-matched (planner re-targets)."""
         lift_off = np.asarray(lift_off, np.float64).reshape(3)
         touch_down = np.asarray(touch_down, np.float64).reshape(3)
         step_height = self.step_height
         period = self.swing_period
         t = swing_time
+        v0 = None
         if hitpoint is not None and hitmoment >= 0.0:
             lift_off = np.asarray(hitpoint, np.float64).reshape(3)
             step_height = (self.reflex_max_step_height if hit_step_height is None
                            else hit_step_height)
             period = max(self.swing_period - hitmoment, 1e-3)
             t = swing_time - hitmoment
+            v0 = hit_velocity
         if self.generator == "explicit":
             pos, vel, acc = explicit_swing_refs_jit(
                 jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
                 jnp.asarray(lift_off, jnp.float32), jnp.asarray(touch_down, jnp.float32))
+        elif v0 is not None:
+            pos, vel, acc = bezier_swing_refs_jit(
+                jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
+                jnp.asarray(lift_off, jnp.float32), jnp.asarray(touch_down, jnp.float32),
+                jnp.float32(self.liftoff_boost),
+                jnp.asarray(v0, jnp.float32), jnp.float32(1.0))
         else:
             pos, vel, acc = bezier_swing_refs_jit(
                 jnp.float32(t), jnp.float32(period), jnp.float32(step_height),
@@ -339,13 +383,16 @@ class SwingTrajectoryController:
         self, leg_id, q_dot, J, J_dot, lift_off, touch_down, foot_pos, foot_vel,
         h, mass_matrix, early_stance_hitmoment=-1.0, early_stance_hitpoint=None,
     ):
-        hm, hp, hit_sh = early_stance_hitmoment, early_stance_hitpoint, None
+        hm, hp, hit_sh, hit_v = early_stance_hitmoment, early_stance_hitpoint, None, None
         if hp is None and self.retarget_points[leg_id] is not None:
-            # Planner-moved touchdown: same re-planning, normal apex.
+            # Planner-moved touchdown: same re-planning, velocity-matched start
+            # and a continuity-preserving apex when provided.
             hm, hp = self.retarget_moments[leg_id], self.retarget_points[leg_id]
-            hit_sh = self.step_height
+            hit_sh = (self.step_height if self.retarget_apexes[leg_id] is None
+                      else self.retarget_apexes[leg_id])
+            hit_v = self.retarget_vels[leg_id]
         des_pos, des_vel, des_acc = self.compute_trajectory_references(
-            self.swing_time[leg_id], lift_off, touch_down, hm, hp, hit_sh)
+            self.swing_time[leg_id], lift_off, touch_down, hm, hp, hit_sh, hit_v)
         tau = swing_cartesian_torque(
             des_pos, des_vel, des_acc, foot_pos, foot_vel, J, J_dot, q_dot, h,
             mass_matrix, self.position_gain_fb, self.velocity_gain_fb,
@@ -362,6 +409,8 @@ class SwingTrajectoryController:
                 self.swing_time[leg] = 0.0
                 self.retarget_points[leg] = None
                 self.retarget_moments[leg] = -1.0
+                self.retarget_vels[leg] = None
+                self.retarget_apexes[leg] = None
 
     def check_apex_condition(self, current_contact, interval=0.02, phase=0.5):
         """1 when any swing leg is within ±interval of ``phase``*period into its

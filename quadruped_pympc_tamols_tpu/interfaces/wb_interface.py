@@ -62,6 +62,15 @@ class WBInterface:
         # Fused host path (all-leg swing refs + analytic IK in numpy, zero device
         # calls per control step); only the closed-form IK is stateless enough.
         self._fused_host_path = isinstance(self.ik, LegKinematics)
+        # Leg geometry for the reach-aware swing command clamp
+        # (sim.swing_reach_clamp): hip positions in base frame + the linkage's
+        # true maximum hip-to-foot distance.
+        kin_tmp = self.ik if isinstance(self.ik, LegKinematics) \
+            else LegKinematics(cfg.robot)
+        self._hip_off = np.asarray(kin_tmp.hip_offsets_b, np.float64)
+        self._leg_reach = float(np.hypot(
+            cfg.robot.hip_offset_y,
+            cfg.robot.thigh_length + cfg.robot.calf_length))
         self.vm = VelocityModulator(activated=cfg.sim.velocity_modulator)
         # Reflexes run for EVERY controller family, as in the reference
         # (wb_interface.py:362-365) — the detector itself is solver-agnostic.
@@ -86,6 +95,10 @@ class WBInterface:
         self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
         self.previous_contact = np.ones(4)
         self.last_des_foot_pos = Legs.zeros((3,))
+        # Commanded foot velocities of the last tick: the velocity-matched
+        # retarget starts the re-planned curve from the COMMANDED state so the
+        # command stays continuous (see update_state_and_reference).
+        self._last_des_foot_vel = np.zeros((4, 3))
         # Moving-average base velocity for the foothold planner: the raw MuJoCo
         # velocity oscillates +-0.3 m/s during stumbles, and feeding it to the
         # TAMOLS reach/stability predictions flips forward candidates infeasible
@@ -144,6 +157,12 @@ class WBInterface:
                         and feet_arr[leg, 2] > self._last_td_targets[leg, 2] \
                         + cfg.sim.late_touchdown_hold:
                     self.current_contact[leg] = 0.0
+                    # The MPC must not load the phantom support either: zero
+                    # the held leg's FIRST contact column so force is
+                    # redistributed to the real supports during the hold
+                    # (ADVICE r4 — previously only current_contact flipped and
+                    # the SRB model still allocated GRF to the airborne foot).
+                    contact_sequence[leg, 0] = 0.0
                     # Latch: while held, the MPC sees the timer's all-stance
                     # sequence and reports the AIRBORNE foot as this leg's
                     # "foothold" — without the latch that poisons the hold's
@@ -187,24 +206,54 @@ class WBInterface:
                 for leg in range(4):
                     if self.current_contact[leg] == 0:
                         feet_anchor[leg] = lo_pos[leg]
+                # Flight-time reach gate inputs (tamols.max_foot_speed): per-leg
+                # remaining swing time — swing legs get what's left of THIS
+                # swing; stance legs plan their NEXT swing with the full period.
+                t_remain = np.full(4, self.stc.swing_period, np.float64)
+                for leg in range(4):
+                    if self.current_contact[leg] == 0:
+                        t_remain[leg] = max(
+                            self.stc.swing_period - self.stc.swing_time[leg], 1e-3)
                 self.vfa.compute_adaptation(
                     heightmaps, seeds,
                     np.asarray(hip_pos.data), np.asarray(base_pos),
                     np.mean(self._vel_hist, axis=0), self.current_contact,
-                    np.asarray(feet_pos.data), own_anchor=feet_anchor)
+                    np.asarray(feet_pos.data), own_anchor=feet_anchor,
+                    t_remain=t_remain)
                 # When the planner moved a touchdown substantially, RE-PLAN the
                 # remaining swing from the current foot position (the reflex
                 # re-planning machinery) instead of evaluating the stale lift-off
                 # curve mid-flight — otherwise the foot descends on the old arc and
-                # lands short of the stone.
+                # lands short of the stone. The re-plan starts VELOCITY-MATCHED
+                # from the commanded curve point (command continuity: a v=0
+                # restart is an instantaneous commanded velocity step that the
+                # 1000 N/m swing PD turns into a fling — round-4 chasm
+                # postmortem) and preserves the ORIGINAL apex plan instead of
+                # commanding a fresh full-height climb from wherever the foot is.
                 if cfg.tamols.retarget_swing:
                     adapted = np.asarray(self.vfa.footholds_adaptation)
                     feet_now_arr = np.asarray(feet_pos.data)
+                    des_prev = np.asarray(self.last_des_foot_pos.data)
+                    lo_arr = np.asarray(self.frg.lift_off_positions.data)
                     for leg in range(4):
                         if self.current_contact[leg] == 0 and \
                                 np.linalg.norm(adapted[leg, :2] - seeds[leg, :2]) > 0.03:
-                            self.stc.retarget(leg, feet_now_arr[leg],
-                                              float(self.stc.swing_time[leg]))
+                            t_sw = float(self.stc.swing_time[leg])
+                            in_flight = t_sw > 1.5 * self.cfg.sim.dt
+                            # Early retargets (trigger at ~liftoff) start from
+                            # the measured foot; mid-flight retargets start
+                            # from the COMMANDED point with the commanded
+                            # velocity, keeping the command continuous.
+                            start = des_prev[leg] if in_flight else feet_now_arr[leg]
+                            vel = (self._last_des_foot_vel[leg]
+                                   if in_flight else None)
+                            apex = float(np.clip(
+                                max(lo_arr[leg, 2], adapted[leg, 2])
+                                + self.stc.step_height
+                                - max(start[2], adapted[leg, 2]),
+                                0.02, self.stc.step_height))
+                            self.stc.retarget(leg, start, t_sw, velocity=vel,
+                                              apex=apex)
             if self.stc.check_full_stance_condition(self.current_contact):
                 self.vfa.reset()
             adapted, constraints = self.vfa.get_footholds_adapted(
@@ -304,12 +353,21 @@ class WBInterface:
             period = np.full(4, stc.swing_period, np.float32)
             step_h = np.full(4, stc.step_height, np.float32)
             lo = np.asarray(self.frg.lift_off_positions.data, np.float32).copy()
+            v0 = np.zeros((4, 3), np.float32)
+            v0_mask = np.zeros(4, np.float32)
             for leg in range(4):
                 hm, hp = ((self.esd.hitmoments[leg], self.esd.hitpoints[leg])
                           if self._reflex_replanning else (-1.0, None))
                 if hp is None and stc.retarget_points[leg] is not None:
-                    # Planner-moved touchdown: same re-planning, normal apex.
+                    # Planner-moved touchdown: same re-planning, with a
+                    # velocity-matched start and continuity-preserving apex
+                    # when the retarget recorded them.
                     hm, hp = stc.retarget_moments[leg], stc.retarget_points[leg]
+                    if stc.retarget_apexes[leg] is not None:
+                        step_h[leg] = stc.retarget_apexes[leg]
+                    if stc.retarget_vels[leg] is not None:
+                        v0[leg] = stc.retarget_vels[leg]
+                        v0_mask[leg] = 1.0
                 elif hp is not None and hm >= 0.0:
                     step_h[leg] = stc.reflex_max_step_height
                 if hp is not None and hm >= 0.0:
@@ -332,7 +390,8 @@ class WBInterface:
 
             pos, vel, acc = swing_refs_np(self.stc.generator, t_eff, period, step_h,
                                           lo, td,
-                                          liftoff_boost=self.stc.liftoff_boost)
+                                          liftoff_boost=self.stc.liftoff_boost,
+                                          v0=v0, v0_mask=v0_mask)
             m = swing_mask[:, None].astype(np.float64)
             # Stance legs HOLD their current position: their IK/PD target must
             # not be the NEXT foothold (td), or the joint impedance drags planted
@@ -344,6 +403,28 @@ class WBInterface:
             des_foot_pos = m * pos + (1.0 - m) * feet_arr
             des_foot_vel = m * vel
             des_acc = m * acc
+            # Reach-aware command clamp (config sim.swing_reach_clamp): a swing
+            # command outside the leg's physical sphere slams the knee into its
+            # joint limit at full extension and the limit impulse flings the
+            # foot (measured chasm hop traces). Clamp the command onto the
+            # sphere around the CURRENT hip and kill the outward-radial
+            # commanded velocity; the foot then presses at the boundary and
+            # completes the touchdown as the base advances.
+            if self.cfg.sim.swing_reach_clamp > 0.0:
+                R_b = euler_xyz_to_rot_np(base_rpy)
+                hips_w = np.asarray(base_pos)[None, :] + self._hip_off @ R_b.T
+                r_safe = self.cfg.sim.swing_reach_clamp * self._leg_reach
+                for leg in range(4):
+                    if self.current_contact[leg] == 0:
+                        v = des_foot_pos[leg] - hips_w[leg]
+                        d = float(np.linalg.norm(v))
+                        if d > r_safe:
+                            u = v / d
+                            des_foot_pos[leg] = hips_w[leg] + u * r_safe
+                            out_rad = float(des_foot_vel[leg] @ u)
+                            if out_rad > 0.0:
+                                des_foot_vel[leg] -= out_rad * u
+                            des_acc[leg] = 0.0
             des_q = self.ik.ik_world_np(des_foot_pos, np.asarray(base_pos),
                                         euler_xyz_to_rot_np(base_rpy))
             from ..gait.swing import swing_cartesian_torque
@@ -389,6 +470,7 @@ class WBInterface:
                     des_foot_pos[leg] = np.asarray(feet_pos[leg_name]).reshape(3)
 
         self.last_des_foot_pos = Legs(des_foot_pos.copy())
+        self._last_des_foot_vel = des_foot_vel.copy()
 
         # Friction compensation (reference :411-415).
         if self.stc.use_friction_compensation and legs_qfrc_passive is not None:
@@ -432,4 +514,5 @@ class WBInterface:
         self._last_td_targets = None  # (4, 3) swing touchdown targets
         self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
         self.previous_contact = np.ones(4)
+        self._last_des_foot_vel = np.zeros((4, 3))
         self._vel_hist.clear()

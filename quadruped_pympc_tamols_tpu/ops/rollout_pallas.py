@@ -204,10 +204,13 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         raise RuntimeError("pallas unavailable")
     if method not in ("random_sampling", "mppi", "cem_mppi"):
         raise ValueError(f"unknown sampling method {method!r}")
-    if fuse_combine and num_groups != 1:
-        raise ValueError("fuse_combine supports a single group only")
     if num_chained > 1 and not fuse_combine:
         raise ValueError("num_chained needs fuse_combine")
+    if num_chained > 1 and num_groups != 1:
+        # Chained iterations publish ONE incumbent per iteration; a multi-group
+        # chain would need the cross-GROUP combine at every iteration boundary
+        # (the production gait-adaptive config runs num_iterations=1).
+        raise ValueError("num_chained needs a single group")
     sp = cfg.mpc.sampling
     H = cfg.mpc.horizon
     P_leg = num_params_per_leg(sp.parametrization, H, sp.num_splines)
@@ -531,21 +534,27 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             # sequential masked mins only COLLECT one-hot rows; all K elite
             # parameter vectors are then gathered by a single lane-contracting
             # dot_general on the MXU (the per-elite GEMV loop measured ~1.5 us
-            # per elite per tile — the whole cem-vs-mppi gap). A per-lane
-            # relative epsilon breaks ties (mass ties are REAL at the 1e6 cost
-            # saturation) — (cost, lane) lexicographic order like XLA top_k.
+            # per elite per tile — the whole cem-vs-mppi gap). Ties (mass ties
+            # are REAL at the 1e6 cost saturation) break EXACTLY
+            # lexicographically on (cost, lane) like XLA top_k: among the
+            # equal-cost lanes the lowest lane wins and only that one is
+            # removed per round. (A multiplicative per-lane epsilon was
+            # measured reordering genuinely distinct near-equal costs at
+            # 5120-lane tiles — 1.5e-3 relative at the far lane; ADVICE r4.)
             lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
                 jnp.float32)
-            masked = cflat * (1.0 + 3e-7 * lane_f)
+            masked = cflat
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
             tile_ec = []
             oh_rows = []
             for k in range(K_elite):
                 ck = jnp.min(masked)
-                oh = (masked == ck).astype(jnp.float32)
-                oh_rows.append(oh / jnp.sum(oh))
+                at_min = masked == ck
+                slot = jnp.min(jnp.where(at_min, lane_f, jnp.float32(tile)))
+                oh = (at_min & (lane_f == slot)).astype(jnp.float32)  # one lane
+                oh_rows.append(oh)
                 tile_ec.append(ck)
-                masked = jnp.where(masked == ck, _BIG, masked)
+                masked = jnp.where(oh > 0.0, _BIG, masked)
             ohs = jnp.concatenate(
                 oh_rows + [jnp.zeros((K16 - K_elite, tile), jnp.float32)],
                 axis=0)  # (K16, tile)
@@ -604,26 +613,29 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
 
         elif want_cem:
             # Tile-local top-K by iterative masked min (K one-hot matvecs).
-            # A per-lane relative epsilon breaks ties (mass ties are REAL at the
-            # 1e6 cost saturation), so each masked min removes exactly one sample
-            # — (cost, lane) lexicographic order, like XLA top_k's index order.
+            # Ties (mass ties are REAL at the 1e6 cost saturation) break
+            # EXACTLY lexicographically on (cost, lane) like XLA top_k — among
+            # equal-cost lanes the lowest lane wins, and each masked min
+            # removes exactly that one sample (no epsilon perturbation of the
+            # costs; ADVICE r4).
             lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
                 jnp.float32)
-            masked = cflat * (1.0 + 3e-7 * lane_f)
+            masked = cflat
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
             p_pad = sub_p * _LANE - P
             tile_ec = []  # K scalar elite costs, ascending
             tile_ep = []  # K packed (sub_p, _LANE) elite parameter slabs
             for k in range(K_elite):
                 ck = jnp.min(masked)
-                oh = (masked == ck).astype(jnp.float32)
-                oh = oh / jnp.sum(oh)
+                at_min = masked == ck
+                slot = jnp.min(jnp.where(at_min, lane_f, jnp.float32(tile)))
+                oh = (at_min & (lane_f == slot)).astype(jnp.float32)  # one lane
                 ek = jnp.dot(params, oh.reshape(tile, 1),
                              preferred_element_type=jnp.float32)  # (P, 1)
                 tile_ec.append(ck)
                 tile_ep.append(jnp.pad(ek[:, 0], (0, p_pad)).reshape(sub_p,
                                                                      _LANE))
-                masked = jnp.where(masked == ck, _BIG, masked)
+                masked = jnp.where(oh > 0.0, _BIG, masked)
 
             if not fuse_combine:
                 ec_out, ep_out = refs[4], refs[5]

@@ -78,7 +78,7 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
     z_off = tp.sensor_z_offset  # +0.02 of FastHeightMap.get_height (:35)
 
     def _leg_adapt(hm: GridHeightMap, seed, hip, side, other_feet, base_pos, base_vel,
-                   in_stance, diag_foot, own_foot):
+                   in_stance, diag_foot, own_foot, foot_now, t_remain):
         """Score all cells of one leg's heightmap. All lookups are on this leg's grid."""
         cand_xy = hm.cell_world_xy().reshape(-1, 2)  # (M, 2)
         # Candidate z: grid height + sensor offset + 0.005 (reference :192).
@@ -113,6 +113,18 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         hip_lo = hip + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
         d_lo = jnp.linalg.norm(cand - hip_lo, axis=1)
         feas = in_radius & (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
+
+        # --- hard: flight-time reach (config tamols.max_foot_speed — round-4
+        # chasm postmortem: the planner selected a 0.4 m hop with 0.2 s of
+        # swing left and the executed foot landed ~20 cm short). A candidate
+        # is reachable only if the remaining swing time covers its xy distance
+        # from the foot's CURRENT position at the achievable mean foot speed;
+        # an all-infeasible leg falls through to the fallback ("land on known
+        # ground now, hop next swing with full time"). <= 0 disables.
+        if tp.max_foot_speed > 0.0:
+            d_fly = jnp.sqrt((cand_xy[:, 0] - foot_now[0]) ** 2
+                             + (cand_xy[:, 1] - foot_now[1]) ** 2)
+            feas = feas & (d_fly <= tp.max_foot_speed * t_remain)
 
         # --- hard: lateral lane (leg-crossing guard, beyond the reference). A
         # candidate across the body centerline (in the yaw-aligned frame) would
@@ -276,24 +288,28 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         return (fh, fh - box, fh + box, best_cost, any_feas)
 
     def adapt(hms: GridHeightMap, seeds, hips, base_pos, base_vel, current_contact,
-              feet, own_anchor):
+              feet, own_anchor, t_remain=None):
         """``feet`` are the CURRENT foot positions (reference parity — they
-        feed the stability diagonal and the foot-separation exclusion, where a
-        mid-swing foot approximates its imminent landing). ``own_anchor`` is
-        each leg's foothold IDENTITY — the lift-off position for swinging legs
-        — consumed only by the gap-lattice extensions (progression cost,
-        'foot' fallback), which mean "where the leg stands", not "where it
-        floats". Anchoring the stability diagonal too was measured to break
-        trot adaptation (the diagonal PARTNER swings simultaneously)."""
+        feed the stability diagonal, the foot-separation exclusion, and the
+        flight-time reach gate). ``own_anchor`` is each leg's foothold
+        IDENTITY — the lift-off position for swinging legs — consumed only by
+        the gap-lattice extensions (progression cost, 'foot' fallback), which
+        mean "where the leg stands", not "where it floats". Anchoring the
+        stability diagonal too was measured to break trot adaptation (the
+        diagonal PARTNER swings simultaneously). ``t_remain`` (4,) is each
+        leg's remaining swing time for the max_foot_speed gate (None = no
+        gate)."""
+        if t_remain is None:
+            t_remain = jnp.full(4, 1e3, jnp.float32)
         diag_feet = feet[_DIAG]
         sides = jnp.asarray(_Y_OFFSET_SIGN)
         # Per-leg (3, 3) stack of the OTHER legs' current feet.
         others = jnp.stack(
             [feet[np.array([j for j in range(4) if j != i])] for i in range(4)])
         fh, lo, hi, cost, feas = jax.vmap(
-            _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0)
+            _leg_adapt, in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, 0, 0, 0)
         )(hms, seeds, hips, sides, others, base_pos, base_vel, current_contact,
-          diag_feet, own_anchor)
+          diag_feet, own_anchor, feet, t_remain)
         return TamolsResult(fh, lo, hi, cost, feas)
 
     return jax.jit(adapt)
@@ -316,13 +332,16 @@ class TamolsPlanner:
         self.initialized = False
 
     def compute_adaptation(self, hms, seeds, hips, base_pos, base_vel,
-                           current_contact, feet, own_anchor=None):
+                           current_contact, feet, own_anchor=None, t_remain=None):
         anchor = feet if own_anchor is None else own_anchor
+        if t_remain is None:
+            t_remain = np.full(4, 1e3)  # no flight-time gate
         res = self.adapt_fn(hms, jnp.asarray(seeds, jnp.float32), jnp.asarray(hips, jnp.float32),
                             jnp.asarray(base_pos, jnp.float32), jnp.asarray(base_vel, jnp.float32),
                             jnp.asarray(current_contact, jnp.float32),
                             jnp.asarray(feet, jnp.float32),
-                            jnp.asarray(anchor, jnp.float32))
+                            jnp.asarray(anchor, jnp.float32),
+                            jnp.asarray(t_remain, jnp.float32))
         self.footholds_adaptation = np.asarray(res.footholds)
         self.footholds_constraints = (np.asarray(res.constraints_lo), np.asarray(res.constraints_hi))
         self.last_seeds = np.asarray(seeds)  # observability (loggers/tests)

@@ -273,3 +273,44 @@ def test_recentering_far_from_origin():
     # Outputs come back in WORLD coordinates.
     np.testing.assert_allclose(fh1[:, 0] - fh0[:, 0], 10000.0, atol=1e-3)
     np.testing.assert_allclose(p1[0] - p0[0], 10000.0, atol=1e-3)
+
+
+def test_stance_min_force_floor():
+    """gradient.stance_min_force: the QP's fz lower bound rises to the floor on
+    stance legs only — in a 4-stance hover every stance leg carries at least the
+    floor, and a swing leg stays at ~zero (round-4 chasm postmortem: lightly
+    loaded stone feet slid off when any lateral request exited their cone)."""
+    import jax.numpy as jnp
+
+    from quadruped_pympc_tamols_tpu.controllers.gradient import GradientMPC
+
+    cfg = make_config("aliengo", mpc_type="nominal",
+                      **{"mpc.gradient.stance_min_force": 20.0})
+    mpc = GradientMPC(cfg)
+    H = cfg.mpc.horizon
+    state = {
+        "position": np.array([0.0, 0.0, 0.33]),
+        "linear_velocity": np.zeros(3), "orientation": np.zeros(3),
+        "angular_velocity": np.zeros(3),
+        "foot_FL": np.array([0.25, 0.15, 0.0]),
+        "foot_FR": np.array([0.25, -0.15, 0.0]),
+        "foot_RL": np.array([-0.25, 0.15, 0.0]),
+        "foot_RR": np.array([-0.25, -0.15, 0.0]),
+    }
+    ref = {
+        "ref_position": np.array([0.0, 0.0, 0.35]),
+        "ref_linear_velocity": np.zeros(3), "ref_orientation": np.zeros(3),
+        "ref_angular_velocity": np.zeros(3),
+        "ref_foot_FL": state["foot_FL"][None], "ref_foot_FR": state["foot_FR"][None],
+        "ref_foot_RL": state["foot_RL"][None], "ref_foot_RR": state["foot_RR"][None],
+    }
+    # FR swings over the second half of the horizon; 4-stance at step 0.
+    seq = np.ones((4, H), np.float32)
+    seq[1, H // 2:] = 0.0
+    grfs, fh, pred, status, cost = mpc.compute_control(state, ref, seq)
+    assert status == 0
+    assert np.all(grfs[:, 2] >= 20.0 - 0.5), f"stance floor violated: {grfs[:, 2]}"
+    # And the floor binds only where it should: a swing-phase stage keeps the
+    # swinging leg's force at ~0 (check stage H-1 of the plan for FR).
+    U_last = mpc.U_warm[-1].reshape(4, 3)  # shifted plan's last stage
+    assert U_last[1, 2] < 1.0, f"swing leg carries force: {U_last[1, 2]}"

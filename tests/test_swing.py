@@ -140,3 +140,84 @@ def test_swing_retarget_replans_to_new_target():
     # Touchdown clears the retarget.
     stc.update_swing_time([1, 1, 1, 1], 0.002)
     assert stc.retarget_points[1] is None
+
+
+def test_velocity_matched_bezier_start():
+    """Velocity-matched re-planning (round-4 chasm postmortem): with v0 given,
+    the curve starts at exactly v0 with zero initial acceleration, ends on the
+    touchdown with v=0, and the apex height is preserved — on both the jnp
+    curve and its numpy host twin."""
+    import jax.numpy as jnp
+
+    from quadruped_pympc_tamols_tpu.gait.swing import (
+        bezier_swing_refs,
+        swing_refs_np,
+    )
+
+    period, sh = 0.3, 0.1
+    lo = jnp.asarray([0.25, -0.15, 0.05], jnp.float32)
+    td = jnp.asarray([0.55, -0.10, 0.0], jnp.float32)
+    v0 = jnp.asarray([0.8, 0.2, 0.4], jnp.float32)
+    eps = 1e-3
+    p0, vel0, acc0 = bezier_swing_refs(0.0, period, sh, lo, td,
+                                       v0=v0, v0_mask=1.0)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(lo), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vel0), np.asarray(v0), atol=1e-4)
+    assert np.all(np.abs(np.asarray(acc0)) < 1e-2)
+    # End clamp unchanged.
+    p1, vel1, _ = bezier_swing_refs(period, period, sh, lo, td,
+                                    v0=v0, v0_mask=1.0)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(td), atol=1e-5)
+    assert np.all(np.abs(np.asarray(vel1)) < 1e-4)
+    # Apex preserved: z at midpoint = max(lo_z, td_z) + step_height.
+    pm, _, _ = bezier_swing_refs(period / 2, period, sh, lo, td,
+                                 v0=v0, v0_mask=1.0)
+    assert abs(float(pm[2]) - (0.05 + sh)) < 1e-5
+    # numpy twin agrees along the curve.
+    for s in (0.0, 0.1, 0.15, 0.25, 0.3):
+        pj, vj, aj = bezier_swing_refs(jnp.float32(s), period, sh, lo, td,
+                                       v0=v0, v0_mask=1.0)
+        pn, vn, an = swing_refs_np(
+            "bezier_ref", np.full(4, s), np.full(4, period), np.full(4, sh),
+            np.tile(np.asarray(lo), (4, 1)), np.tile(np.asarray(td), (4, 1)),
+            v0=np.tile(np.asarray(v0), (4, 1)), v0_mask=np.ones(4))
+        np.testing.assert_allclose(pn[2], np.asarray(pj), atol=1e-5)
+        np.testing.assert_allclose(vn[2], np.asarray(vj), atol=1e-4)
+    # v0_mask=0 rows reduce exactly to the boost start (here boost=0 -> v(0)=0).
+    _, vz, _ = bezier_swing_refs(0.0, period, sh, lo, td,
+                                 v0=v0, v0_mask=0.0)
+    assert np.all(np.abs(np.asarray(vz)) < 1e-5)
+
+
+def test_retarget_velocity_and_apex_flow_through_controller():
+    """retarget(velocity=..., apex=...) reaches the curve: the re-planned
+    command at the retarget moment moves at the recorded velocity, and the apex
+    override caps the re-planned curve's height."""
+    from quadruped_pympc_tamols_tpu.gait.swing import SwingTrajectoryController
+
+    stc = SwingTrajectoryController(step_height=0.1, swing_period=0.3,
+                                    position_gain_fb=1000, velocity_gain_fb=20)
+    mid = np.array([0.30, -0.15, 0.08])
+    v_cmd = np.array([0.5, 0.0, 0.2])
+    stc.swing_time[1] = 0.15
+    stc.retarget(1, mid, 0.15, velocity=v_cmd, apex=0.03)
+    new_td = np.array([0.45, -0.15, 0.0])
+    _, pos, vel = stc.compute_swing_control_cartesian_space(
+        leg_id=1, q_dot=np.zeros(3), J=np.eye(3), J_dot=np.zeros((3, 3)),
+        lift_off=np.array([0.25, -0.15, 0.0]), touch_down=new_td,
+        foot_pos=mid, foot_vel=np.zeros(3), h=np.zeros(3),
+        mass_matrix=np.eye(3))
+    np.testing.assert_allclose(pos, mid, atol=1e-3)
+    np.testing.assert_allclose(vel, v_cmd, atol=2e-3)
+    # Apex override: curve max z stays near max(start, td) + apex, well below
+    # the default step_height plan.
+    zs = []
+    for s in np.linspace(0.15, 0.3, 31):
+        stc.swing_time[1] = s
+        _, p, _ = stc.compute_swing_control_cartesian_space(
+            leg_id=1, q_dot=np.zeros(3), J=np.eye(3), J_dot=np.zeros((3, 3)),
+            lift_off=np.array([0.25, -0.15, 0.0]), touch_down=new_td,
+            foot_pos=mid, foot_vel=np.zeros(3), h=np.zeros(3),
+            mass_matrix=np.eye(3))
+        zs.append(p[2])
+    assert max(zs) < 0.08 + 0.03 + 0.02, f"apex not capped: {max(zs):.3f}"

@@ -253,3 +253,39 @@ def test_progression_gate_off_on_flat():
                 np.array([0.2, 0.0, 0.0]), np.zeros(4), feet, feet)
     fh = np.asarray(res.footholds)
     assert np.all(np.linalg.norm(fh[:, :2] - seeds[:, :2], axis=1) < 0.1)
+
+
+def test_flight_time_reach_gate():
+    """tamols.max_foot_speed (the flight-time reach model, round-4 chasm
+    postmortem): a swinging leg with little swing time left cannot be sent to a
+    far candidate — with a generous time budget the planner advances; with a
+    tiny one every far cell is infeasible and the leg falls back to its own
+    foothold (fallback='foot'), i.e. 'land on known ground now'."""
+    cfg = make_config("aliengo", **{"tamols.max_foot_speed": 1.5,
+                                    "tamols.fallback": "foot",
+                                    "tamols.weight_reference_tracking": 10.0})
+    adapt = make_tamols_scorer(cfg, "tamols")
+    seeds = np.array([[0.45, 0.15, 0.0], [0.25, -0.15, 0.0],
+                      [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]])
+    hips = seeds + np.array([0.0, 0.0, cfg.robot.hip_height])
+    feet = seeds - np.array([0.2, 0.0, 0.0])  # FL's foot 0.2 m behind its seed
+    hms = _make_hms(flat, seeds)
+    contact = np.array([0.0, 1.0, 1.0, 1.0])  # FL swinging
+
+    # Plenty of time: full freedom, target lands near the seed.
+    t_full = np.full(4, 0.4)
+    r1 = adapt(hms, seeds, hips, np.array([0.1, 0.0, 0.35]),
+               np.array([0.2, 0.0, 0.0]), contact, feet, feet, t_full)
+    assert bool(np.asarray(r1.feasible)[0])
+    assert np.linalg.norm(np.asarray(r1.footholds)[0, :2] - seeds[0, :2]) < 0.1
+
+    # 30 ms left: reach = 4.5 cm around the foot, the seed region (0.2 m away)
+    # is unreachable -> candidates near the FOOT win (or fallback to the foot).
+    t_tiny = np.array([0.03, 0.4, 0.4, 0.4])
+    r2 = adapt(hms, seeds, hips, np.array([0.1, 0.0, 0.35]),
+               np.array([0.2, 0.0, 0.0]), contact, feet, feet, t_tiny)
+    fh2 = np.asarray(r2.footholds)[0]
+    assert np.linalg.norm(fh2[:2] - feet[0, :2]) < 0.06, \
+        f"gated leg sent {np.linalg.norm(fh2[:2] - feet[0, :2]):.3f} m away"
+    # Stance legs are unaffected (full-period gate).
+    assert bool(np.asarray(r2.feasible)[1])
