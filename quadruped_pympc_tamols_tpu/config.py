@@ -340,6 +340,16 @@ class TamolsParams:
     # <= 0 disables (reference parity: the reference's reach constraint is
     # leg-length only, visual_foothold_adaptation.py:375-395).
     max_foot_speed: float = 0.0
+    # Evaluate the kinematic reach band at the PREDICTED hip at touchdown
+    # (hip + v * t_remain, capped at 1 s) instead of the current hip
+    # (reference parity: visual_foothold_adaptation.py:375-395 uses the
+    # current hip; its lift-off check already predicts hip + v * 0.3).
+    # On a forward lattice walk the current hip UNDERSTATES reach for forward
+    # candidates by v * t_swing — measured on the chasm: the hind legs' next
+    # column sat at 0.57 m from the current hip (infeasible at l_max = 0.55)
+    # but 0.52 m from the hip at touchdown, so every hind adaptation re-landed
+    # on its old column and the body outran its support polygon.
+    predict_hip_at_touchdown: bool = False
     # Candidate search radius around the seed foothold: heightmap cells beyond
     # it are infeasible (reference visual_foothold_adaptation.py:245-259 builds
     # its grid within this radius). search_resolution is that grid's step; here
@@ -521,6 +531,13 @@ class SimParams:
     # touchdown point stays in SWING (the swing clock saturates, so the
     # controller keeps pressing it down onto the target) until it closes in.
     late_touchdown_hold: float = 0.0
+    # Lateral companion to the hold (round 5): defer the stance flip while the
+    # foot is more than this far [m] from its touchdown target in XY — a foot
+    # that is LOW but laterally off gets accepted by the height-only hold and
+    # loads a stone rim (measured: hind hops accepted at 2 cm above target but
+    # 0.11 m lateral, on the rim). While held, the saturated swing clock keeps
+    # commanding the target, buying the PD the lateral close. 0 disables.
+    late_touchdown_hold_xy: float = 0.0
     # Reach-aware swing command clamp (fraction of the leg's PHYSICAL reach
     # sqrt(hip_offset_y^2 + (thigh+calf)^2); <= 0 disables = reference parity).
     # A swing target just outside the reachable sphere of the CURRENT hip

@@ -105,9 +105,10 @@ def bezier_swing_refs(swing_time, swing_period, step_height, lift_off, touch_dow
     cp = jnp.stack([p0, p1, p2, p3, pf, pf, pf], axis=-2)
 
     b, db, d2b = _bernstein6(s)
+    period = jnp.asarray(swing_period)[..., None]  # per-leg periods broadcast
     pos = jnp.einsum("...i,...ij->...j", b, cp)
-    vel = jnp.einsum("...i,...ij->...j", db, cp) / swing_period
-    acc = jnp.einsum("...i,...ij->...j", d2b, cp) / (swing_period**2)
+    vel = jnp.einsum("...i,...ij->...j", db, cp) / period
+    acc = jnp.einsum("...i,...ij->...j", d2b, cp) / (period**2)
     return pos, vel, acc
 
 

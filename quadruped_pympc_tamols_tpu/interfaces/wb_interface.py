@@ -151,11 +151,19 @@ class WBInterface:
             # saturated at the swing end) instead of the MPC loading a phantom
             # support mid-air.
             feet_arr = np.asarray(feet_pos.data)
+            hold_xy = cfg.sim.late_touchdown_hold_xy
             for leg in range(4):
+                late = feet_arr[leg, 2] > self._last_td_targets[leg, 2] \
+                    + cfg.sim.late_touchdown_hold
+                if hold_xy > 0.0 and not late:
+                    # Lateral hold: low but laterally off-target is still not
+                    # a touchdown (see config late_touchdown_hold_xy).
+                    late = np.linalg.norm(feet_arr[leg, :2]
+                                          - self._last_td_targets[leg, :2]) \
+                        > hold_xy
                 if self.previous_contact[leg] == 0 \
                         and self.current_contact[leg] == 1 \
-                        and feet_arr[leg, 2] > self._last_td_targets[leg, 2] \
-                        + cfg.sim.late_touchdown_hold:
+                        and late:
                     self.current_contact[leg] = 0.0
                     # The MPC must not load the phantom support either: zero
                     # the held leg's FIRST contact column so force is
@@ -419,6 +427,21 @@ class WBInterface:
                         v = des_foot_pos[leg] - hips_w[leg]
                         d = float(np.linalg.norm(v))
                         if d > r_safe:
+                            # While clamped and still far from the touchdown
+                            # target in xy, hold ALTITUDE instead of descending
+                            # along the curve — a clamped descent lands short
+                            # on whatever is under the ray (measured: hind
+                            # hops accepted rim landings 0.12 m from center).
+                            # The late-touchdown hold defers the timer; the
+                            # advancing base sweeps the sphere forward and the
+                            # descent completes over the target.
+                            dxy = float(np.linalg.norm(td[leg, :2]
+                                                       - des_foot_pos[leg, :2]))
+                            if dxy > 0.04:
+                                des_foot_pos[leg, 2] = max(
+                                    des_foot_pos[leg, 2], td[leg, 2] + 0.05)
+                                v = des_foot_pos[leg] - hips_w[leg]
+                                d = float(np.linalg.norm(v))
                             u = v / d
                             des_foot_pos[leg] = hips_w[leg] + u * r_safe
                             out_rad = float(des_foot_vel[leg] @ u)

@@ -16,8 +16,13 @@ One kernel instance per sample tile performs, entirely in VMEM:
   * cem_mppi: mppi partials + the tile's top-K elites — under fuse_combine the
     EXACT global top-K merge and the elite sigma refit also run in-kernel
     (column-slab elites in the sequential-grid accumulator, one
-    lane-contracting matmul gathers all K elite vectors); the non-fused path
-    (gait-adaptive groups) still reduces per-tile elites outside the kernel.
+    lane-contracting matmul gathers all K elite vectors).
+
+fuse_combine works for BOTH the single-group solvers and the gait-adaptive
+GROUP axis: each group owns a resident accumulator block (output index map
+depends on the group id only), the cross-TILE reduction rides it in-kernel,
+and only the tiny cross-GROUP combine (G elements: argmin / log-sum-exp /
+top-K over G*K elites — _combine) runs in XLA after the kernel.
 
 Only O(tiles) scalars and O(tiles * P) vectors leave VMEM per iteration — no
 (N, P) noise tensor or (H, 12, N) force tensor ever touches HBM, which is the
@@ -274,6 +279,14 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
     slab_rows = P8 if use_col_slab else ep_rows_pad
     sigma_rows = P8 if use_col_slab else _WSUB
 
+    # Accumulator row offsets for the fused cem_mppi elite set:
+    # [beta | Z | S | elite-cost row | elite slab | sigma(G=1 only)] (see the
+    # slab-layout note at the factory constants). Shared by the kernel and the
+    # wrapper's per-group accumulator reads.
+    ec_off = 3 * _WSUB
+    ep_off = 4 * _WSUB
+    sg_off = ep_off + slab_rows
+
     def kernel(seed_ref, W_ref, best_ref, state_ref, feet_ref, ref_ref, contact_ref,
                share_ref, off_ref, sigma_ref, *out_refs):
         it_id = pl.program_id(0)
@@ -281,13 +294,6 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         tile_id = pl.program_id(2)
         flat = grp * T + tile_id
         pltpu.prng_seed(seed_ref[0, 0] + it_id * (G * T) + flat)
-
-        # Accumulator row offsets for the fused cem_mppi elite set:
-        # [beta | Z | S | elite-cost row | elite slab | sigma] (see the
-        # slab-layout note at the factory constants).
-        ec_off = 3 * _WSUB
-        ep_off = 4 * _WSUB
-        sg_off = ep_off + slab_rows
 
         if num_chained > 1:
             # Chained iterations: the incumbent comes from the PREVIOUS
@@ -485,13 +491,13 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             if method == "random_sampling":
                 scal_blk = jnp.full((_WSUB, _LANE), cmin)
 
-                @pl.when(flat == 0)
+                @pl.when(tile_id == 0)
                 def _init():
                     acc[0:_WSUB, :] = scal_blk
                     acc[_WSUB:2 * _WSUB, :] = win_blk
                     acc[2 * _WSUB:3 * _WSUB, :] = ext_blk
 
-                @pl.when(flat > 0)
+                @pl.when(tile_id > 0)
                 def _merge():
                     prev = acc[0:_WSUB, :]
                     better = cmin < prev  # (8,128), lane-uniform
@@ -504,13 +510,13 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 z_blk = jnp.full((_WSUB, _LANE), z_t)
                 beta_blk = jnp.full((_WSUB, _LANE), cmin)
 
-                @pl.when(flat == 0)
+                @pl.when(tile_id == 0)
                 def _init():
                     acc[0:_WSUB, :] = beta_blk
                     acc[_WSUB:2 * _WSUB, :] = z_blk
                     acc[2 * _WSUB:3 * _WSUB, :] = s_blk
 
-                @pl.when(flat > 0)
+                @pl.when(tile_id > 0)
                 def _merge():
                     prev_beta = acc[0:_WSUB, :]
                     prev_z = acc[_WSUB:2 * _WSUB, :]
@@ -570,7 +576,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
             acc = refs[1]
             valid = lane < K_elite
 
-            @pl.when(flat == 0)
+            @pl.when(tile_id == 0)
             def _einit():
                 row = jnp.full((1, _LANE), _BIG)
                 for k in range(K_elite):
@@ -578,7 +584,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 acc[ec_off:ep_off, :] = jnp.broadcast_to(row, (_WSUB, _LANE))
                 acc[ep_off:ep_off + P8, :] = tile_slab
 
-            @pl.when(flat > 0)
+            @pl.when(tile_id > 0)
             def _emerge():
                 ec = acc[ec_off:ec_off + _WSUB, :][0:1, :]  # (1, _LANE)
                 slab = acc[ep_off:ep_off + P8, :]
@@ -595,21 +601,26 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 acc[ec_off:ep_off, :] = jnp.broadcast_to(ec, (_WSUB, _LANE))
                 acc[ep_off:ep_off + P8, :] = slab
 
-            @pl.when(flat == G * T - 1)
-            def _esigma():
-                # Sigma refit from the merged global elites (reference
-                # centroidal_nmpc_jax.py:1075-1081: std of the top-K
-                # parameters, clamped) — two lane reductions. Stored as a
-                # lane-broadcast COLUMN (parameters along sublanes); readers
-                # use lane 0.
-                slab = acc[ep_off:ep_off + P8, :]
-                vm = valid.astype(jnp.float32)
-                mean = jnp.sum(slab * vm, axis=1, keepdims=True) / K_elite
-                dev = (slab - mean) * vm
-                var = jnp.sum(dev * dev, axis=1, keepdims=True) \
-                    / (K_elite - 1.0) + 1e-8
-                sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)  # (P8, 1)
-                acc[sg_off:sg_off + P8, :] = jnp.broadcast_to(sig, (P8, _LANE))
+            if G == 1:
+                # Multi-group accumulators have no sigma section: the
+                # cross-GROUP elite merge + refit runs in the wrapper
+                # (cem_sigma_update over G x K elites).
+                @pl.when(tile_id == T - 1)
+                def _esigma():
+                    # Sigma refit from the merged global elites (reference
+                    # centroidal_nmpc_jax.py:1075-1081: std of the top-K
+                    # parameters, clamped) — two lane reductions. Stored as a
+                    # lane-broadcast COLUMN (parameters along sublanes);
+                    # readers use lane 0.
+                    slab = acc[ep_off:ep_off + P8, :]
+                    vm = valid.astype(jnp.float32)
+                    mean = jnp.sum(slab * vm, axis=1, keepdims=True) / K_elite
+                    dev = (slab - mean) * vm
+                    var = jnp.sum(dev * dev, axis=1, keepdims=True) \
+                        / (K_elite - 1.0) + 1e-8
+                    sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)  # (P8, 1)
+                    acc[sg_off:sg_off + P8, :] = jnp.broadcast_to(
+                        sig, (P8, _LANE))
 
         elif want_cem:
             # Tile-local top-K by iterative masked min (K one-hot matvecs).
@@ -662,7 +673,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                 row_group = jax.lax.broadcasted_iota(
                     jnp.int32, (ep_rows_pad, 1), 0) // sub_p
 
-                @pl.when(flat == 0)
+                @pl.when(tile_id == 0)
                 def _einit():
                     row = jnp.full((1, _LANE), _BIG)
                     for k in range(K_elite):
@@ -670,7 +681,7 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                     acc[ec_off:ep_off, :] = jnp.broadcast_to(row, (_WSUB, _LANE))
                     acc[ep_off:ep_off + ep_rows_pad, :] = stack_pad
 
-                @pl.when(flat > 0)
+                @pl.when(tile_id > 0)
                 def _emerge():
                     ec = acc[ec_off:ec_off + _WSUB, :][0:1, :]  # (1, _LANE)
                     eps = acc[ep_off:ep_off + ep_rows_pad, :]
@@ -692,27 +703,28 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                     acc[ec_off:ep_off, :] = jnp.broadcast_to(ec, (_WSUB, _LANE))
                     acc[ep_off:ep_off + ep_rows_pad, :] = eps
 
-                @pl.when(flat == G * T - 1)
-                def _esigma():
-                    # Sigma refit from the merged global elites (reference
-                    # centroidal_nmpc_jax.py:1075-1081: std of the top-K
-                    # parameters, clamped). Pad lanes hold zeros in every
-                    # elite, so their variance is 0 -> clipped to sig_min;
-                    # the wrapper reads only the first P entries.
-                    eps = acc[ep_off:ep_off + ep_rows_pad, :]
-                    ps = [eps[j * sub_p:(j + 1) * sub_p, :]
-                          for j in range(K_elite)]
-                    mean = ps[0]
-                    for j in range(1, K_elite):
-                        mean = mean + ps[j]
-                    mean = mean * (1.0 / K_elite)
-                    var = (ps[0] - mean) * (ps[0] - mean)
-                    for j in range(1, K_elite):
-                        var = var + (ps[j] - mean) * (ps[j] - mean)
-                    var = var * (1.0 / (K_elite - 1)) + 1e-8
-                    sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)
-                    acc[sg_off:sg_off + _WSUB, :] = jnp.pad(
-                        sig, ((0, _WSUB - sub_p), (0, 0)))
+                if G == 1:  # multi-group: wrapper refits from per-group elites
+                    @pl.when(tile_id == T - 1)
+                    def _esigma():
+                        # Sigma refit from the merged global elites (reference
+                        # centroidal_nmpc_jax.py:1075-1081: std of the top-K
+                        # parameters, clamped). Pad lanes hold zeros in every
+                        # elite, so their variance is 0 -> clipped to sig_min;
+                        # the wrapper reads only the first P entries.
+                        eps = acc[ep_off:ep_off + ep_rows_pad, :]
+                        ps = [eps[j * sub_p:(j + 1) * sub_p, :]
+                              for j in range(K_elite)]
+                        mean = ps[0]
+                        for j in range(1, K_elite):
+                            mean = mean + ps[j]
+                        mean = mean * (1.0 / K_elite)
+                        var = (ps[0] - mean) * (ps[0] - mean)
+                        for j in range(1, K_elite):
+                            var = var + (ps[j] - mean) * (ps[j] - mean)
+                        var = var * (1.0 / (K_elite - 1)) + 1e-8
+                        sig = jnp.clip(jnp.sqrt(var), sig_min, sig_max)
+                        acc[sg_off:sg_off + _WSUB, :] = jnp.pad(
+                            sig, ((0, _WSUB - sub_p), (0, 0)))
 
     # Per-tile costs are iteration-indexed (chained grids may not revisit an
     # output block non-consecutively); the wrapper reads the last iteration.
@@ -724,15 +736,18 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
                      memory_space=pltpu.VMEM),
     ]
     if fuse_combine:
-        # One resident accumulator block: [scalars | winner-or-S | ext-or-Z],
-        # extended for cem_mppi with [elite costs | elite slab | sigma].
-        acc_rows = (4 * _WSUB + slab_rows + sigma_rows if method == "cem_mppi"
-                    else 3 * _WSUB)
+        # One resident accumulator block PER GROUP (index map depends on g
+        # only, so each group's block stays in VMEM across its tiles):
+        # [scalars | winner-or-S | ext-or-Z], extended for cem_mppi with
+        # [elite costs | elite slab] (+ the in-kernel sigma refit, G=1 only —
+        # the gait-adaptive wrapper refits across groups instead).
+        acc_rows = (4 * _WSUB + slab_rows + (sigma_rows if G == 1 else 0)
+                    if method == "cem_mppi" else 3 * _WSUB)
         out_shapes += [
-            jax.ShapeDtypeStruct((acc_rows, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((G * acc_rows, _LANE), jnp.float32),
         ]
         out_specs += [
-            pl.BlockSpec((acc_rows, _LANE), lambda i, g, t: (0, 0),
+            pl.BlockSpec((acc_rows, _LANE), lambda i, g, t: (g, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -820,6 +835,33 @@ def make_pallas_iteration(cfg: Config, num_samples: int | None = None,
         )
         GT = G * T
         costs = outs[0].reshape(num_chained, GT, _WSUB * _LANE)[-1, :, 0]
+        if fuse_combine and G > 1:
+            # Per-GROUP fused partials: the cross-TILE combine ran in-kernel
+            # per group; the tiny cross-GROUP combine (G elements — argmin /
+            # log-sum-exp / top-K over G*K elites) runs in XLA via _combine,
+            # identical to the non-fused downstream path but over G rows
+            # instead of G*T tiles.
+            acc = outs[1].reshape(G, -1, _LANE)  # (G, acc_rows, _LANE)
+            costs_g = acc[:, 0, 0]
+            if method == "random_sampling":
+                win = acc[:, _WSUB:2 * _WSUB, :].reshape(G, -1)[:, :P]
+                ext = acc[:, 2 * _WSUB:3 * _WSUB, :].reshape(G, -1)[:, :24]
+                return IterationOutputs(costs_g, win, None, None, None, None,
+                                        ext)
+            z = acc[:, _WSUB, 0]
+            s = acc[:, 2 * _WSUB:3 * _WSUB, :].reshape(G, -1)[:, :P]
+            ec = ep = None
+            if want_cem:
+                ec = acc[:, ec_off, :K_elite]  # (G, K)
+                if use_col_slab:
+                    # Column slab: parameters along sublanes, elites along
+                    # lanes -> (G, K, P).
+                    ep = acc[:, ep_off:ep_off + P8, :K_elite].transpose(
+                        0, 2, 1)[:, :, :P]
+                else:
+                    ep = acc[:, ep_off:ep_off + ep_rows, :].reshape(
+                        G, K_elite, sub_p * _LANE)[:, :, :P]
+            return IterationOutputs(costs_g, None, z, s, ec, ep, None)
         if fuse_combine:
             acc = outs[1]  # (acc_rows, _LANE)
             beta = acc[0, 0]
@@ -1020,8 +1062,13 @@ def make_pallas_gait_adaptive_solver(cfg: Config, num_samples: int | None = None
     sp = cfg.mpc.sampling
     method = method or sp.method
     K = len(cfg.mpc.step_freq_available)
+    # fuse_combine with a GROUP axis: each group's cross-tile reduction rides
+    # its own resident accumulator block in-kernel; only the tiny cross-GROUP
+    # combine (K elements) runs in XLA (_combine) — removing the per-tile
+    # outputs + argmin/one-hot/log-sum-exp tail that kept gait-adaptive ~18%
+    # slower than the single-group headline (VERDICT r4 ask #6).
     it = make_pallas_iteration(cfg, num_samples, interpret=interpret, method=method,
-                               num_groups=K, tile=tile)
+                               num_groups=K, tile=tile, fuse_combine=True)
     H = cfg.mpc.horizon
     S = sp.num_splines
     P = it.P
@@ -1066,7 +1113,8 @@ def make_pallas_gait_adaptive_solver(cfg: Config, num_samples: int | None = None
                      seqs, shares, Ws, offs, sstate.sigma)
         new_params, best_cost, new_sigma, i_best = _combine(outs, method, best_params,
                                                             sstate.sigma, sp)
-        best_freq = freqs[i_best // T]
+        # Fused: _combine ran over per-GROUP partials, so i_best IS the group.
+        best_freq = freqs[i_best if it.fused else i_best // T]
 
         # First-step GRF under the CURRENT contact state (reference :705-760).
         leg_params = new_params.reshape(4, P_leg)

@@ -54,11 +54,18 @@ class ScenarioState:
     prev_contact: Any  # (4,)
     mpc: SamplingState
     terrain: Any = None  # (R, C) per-scenario heightfield; (1, 1) zeros when flat
-    reflex: Any = None  # (4,) per-leg reflex apex raise [m] (early-stance analogue)
+    # Early-stance reflex re-plan state (host counterpart: EarlyStanceDetector
+    # hitpoints/hitmoments + the scipy generator's re-plan, reference
+    # early_stance_detector.py:36-128): the moment into the swing the surface
+    # graze was detected (-1 = no reflex this swing) and the commanded point
+    # it was detected at.
+    reflex: Any = None  # (4,) hitmoment [s]; -1 when inactive
+    hitpoint: Any = None  # (4, 3) commanded point at the graze
 
     def tree_flatten(self):
         return (self.x, self.feet, self.phase, self.swing_time, self.liftoff,
-                self.prev_contact, self.mpc, self.terrain, self.reflex), None
+                self.prev_contact, self.mpc, self.terrain, self.reflex,
+                self.hitpoint), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -184,7 +191,8 @@ def init_scenario_state(cfg: Config, num_params: int, key,
         mpc=SamplingState(jnp.zeros(num_params, jnp.float32), key,
                           jnp.full(num_params, cfg.mpc.sampling.sigma_cem_mppi, jnp.float32)),
         terrain=terrain,
-        reflex=jnp.zeros(4, jnp.float32),
+        reflex=jnp.full(4, -1.0, jnp.float32),
+        hitpoint=jnp.zeros((4, 3), jnp.float32),
     )
 
 
@@ -196,14 +204,16 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
     With ``terrain`` ("boxes"/"stairs"/"perlin"), footholds are TAMOLS-adapted
     against the scenario's own heightfield and touch-downs land on the surface
     (init the state with ``terrain_gen=make_terrain_generator(terrain)``).
-    With ``reflexes`` (terrain only), an early-stance analogue runs on-device:
+    With ``reflexes`` (terrain only), the early-stance reflex runs on-device:
     a swing foot whose commanded Bezier point GRAZES the sensed surface
     mid-swing (clearance under 5 cm — the fleet's kinematic feet track
     perfectly, so the host detector's tracking-error trigger has no signal
     here; a graze is what an early strike looks like under perfect tracking)
-    raises that leg's apex for the remainder of the swing — the host stack's
-    scipy-generator reflex re-plan (reference early_stance_detector.py:36-128
-    + hitpoint re-planning) expressed as a pure state update.
+    has its swing RE-PLANNED from the hitpoint: the remaining curve restarts
+    at the recorded (hitpoint, hitmoment) with the remaining time compressed
+    and the reflex apex — the SAME re-plan the host scipy generator performs
+    (reference early_stance_detector.py:36-128 +
+    scipy_swing_trajectory_generator.py:25-47), as a pure state update.
     ``metrics["reflex_triggers"]`` counts firings. Returns the step function
     and the parameter count.
     """
@@ -267,20 +277,30 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
             return integrate_euler(x, s.feet, out.grfs, cur, srbd, dt_sub), None
         x_next, _ = jax.lax.scan(sub, s.x, None, length=n_sub)
 
-        # Kinematic feet: swing follows the Bezier toward the reference foothold;
-        # touch-down lands on the terrain surface (z=0 when flat). The reflex
-        # state raises the apex of a leg that tripped earlier in this swing.
+        # Kinematic feet: swing follows the Bezier toward the reference
+        # foothold; touch-down lands on the terrain surface (z=0 when flat).
+        # A tripped leg's swing is RE-PLANNED from its hitpoint with the
+        # remaining time compressed and the reflex apex — the host scipy
+        # generator's re-plan (reference
+        # scipy_swing_trajectory_generator.py:25-47), not just an apex raise.
         swing_period = gait.swing_period
-        step_h = cfg.sim.step_height + (s.reflex if use_reflex
-                                        else jnp.zeros(4, jnp.float32))
-        pos, _, _ = bezier_swing_refs(swing_time, swing_period, step_h,
-                                      liftoff, ref_feet)
+        hit_active = (s.reflex >= 0.0) if use_reflex \
+            else jnp.zeros(4, bool)
+        t_eff = jnp.where(hit_active, swing_time - s.reflex, swing_time)
+        period_eff = jnp.where(hit_active,
+                               jnp.maximum(swing_period - s.reflex, 1e-3),
+                               swing_period)
+        lo_eff = jnp.where(hit_active[:, None], s.hitpoint, liftoff)
+        step_h = jnp.where(hit_active, cfg.sim.reflex_max_step_height,
+                           cfg.sim.step_height)
+        pos, _, _ = bezier_swing_refs(t_eff, period_eff, step_h,
+                                      lo_eff, ref_feet)
         touchdown_edge = (prev == 0.0) & (cur == 1.0)
         feet = jnp.where(cur[:, None] == 0.0, pos, s.feet)
         feet = jnp.where(touchdown_edge[:, None],
                          ref_feet.at[:, 2].set(td_z), feet)
 
-        reflex = s.reflex
+        reflex, hitpoint = s.reflex, s.hitpoint
         n_trig = jnp.float32(0.0)
         if use_reflex:
             from ..planner.heightmap import GridHeightMap, lookup_nearest
@@ -290,10 +310,11 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
             surf = lookup_nearest(ghm, pos[:, :2])
             mid_swing = (cur == 0.0) & (swing_time > 0.2 * swing_period) \
                 & (swing_time < 0.8 * swing_period)
-            trip = mid_swing & (pos[:, 2] < surf + 0.05) & (reflex < 0.09)
+            trip = mid_swing & (pos[:, 2] < surf + 0.05) & ~hit_active
             n_trig = jnp.sum(trip.astype(jnp.float32))
-            reflex = jnp.where(trip, jnp.minimum(reflex + 0.05, 0.10), reflex)
-            reflex = jnp.where(touchdown_edge, 0.0, reflex)
+            reflex = jnp.where(trip, swing_time, reflex)
+            hitpoint = jnp.where(trip[:, None], pos, hitpoint)
+            reflex = jnp.where(touchdown_edge, -1.0, reflex)
 
         metrics = dict(
             best_cost=out.best_cost,
@@ -305,7 +326,7 @@ def make_scenario_step(cfg: Config, num_samples: int | None = None,
             reflex_triggers=n_trig,
         )
         s_next = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
-                               mpc_state, s.terrain, reflex)
+                               mpc_state, s.terrain, reflex, hitpoint)
         return s_next, metrics
 
     return step, P

@@ -109,8 +109,15 @@ def make_tamols_scorer(cfg: Config, strategy: str | None = None):
         in_radius = (dx_h / rx) ** 2 + (dy_h / tp.search_radius) ** 2 <= 1.0
 
         # --- hard: kinematic reach at touch-down and predicted lift-off (:375-395).
-        d_td = jnp.linalg.norm(cand - hip, axis=1)
-        hip_lo = hip + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
+        # config tamols.predict_hip_at_touchdown: the reach band evaluates at
+        # the hip's PREDICTED touchdown position (forward walks otherwise
+        # understate reach for forward candidates by v * t_swing).
+        if tp.predict_hip_at_touchdown:
+            hip_td = hip + base_vel * jnp.minimum(t_remain, 1.0)
+        else:
+            hip_td = hip
+        d_td = jnp.linalg.norm(cand - hip_td, axis=1)
+        hip_lo = hip_td + base_vel * 0.3  # stance_duration 0.3 s (:387-390)
         d_lo = jnp.linalg.norm(cand - hip_lo, axis=1)
         feas = in_radius & (d_td >= l_min) & (d_td <= l_max) & (d_lo >= l_min) & (d_lo <= l_max)
 

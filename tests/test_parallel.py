@@ -121,14 +121,16 @@ def test_terrain_generators_shapes():
 
 
 def test_perlin_fleet_with_reflexes():
-    """VERDICT r3 ask #7: the on-device fleet covers perlin-class CONTINUOUS
-    roughness and runs the early-stance reflex analogue — swing feet whose
+    """VERDICT r3 ask #7 / r4 ask #8: the on-device fleet covers perlin-class
+    CONTINUOUS roughness and runs the early-stance reflex — a swing foot whose
     commanded Bezier point grazes the sensed surface mid-swing (under the 5 cm
     clearance margin; kinematic feet track perfectly, so a graze is what an
-    early strike looks like here) get their apex raised (the host
-    scipy-generator reflex re-plan as a pure state update). Over a
-    rough-terrain walk the reflex must measurably fire and the fleet must stay
-    up and move forward."""
+    early strike looks like here) has its swing RE-PLANNED from the recorded
+    (hitpoint, hitmoment) with compressed remaining time and the reflex apex —
+    the host scipy-generator re-plan as a pure state update, not just an apex
+    raise. The test asserts RECOVERY BEHAVIOR, not just the trigger count:
+    after a firing, the re-planned command must climb away from the hitpoint
+    within a few ticks."""
     from quadruped_pympc_tamols_tpu.parallel import (
         init_scenario_state,
         make_scenario_step,
@@ -146,14 +148,37 @@ def test_perlin_fleet_with_reflexes():
     cmd = jnp.asarray([0.25, 0.0, 0.0], jnp.float32)
     x0 = np.asarray(states.x)[:, 0].copy()
     triggers = 0.0
+    recoveries = []  # (commanded z rise 4 ticks after a firing, hitpoint z)
+    pending = []  # (ticks_left, scenario, leg, hitpoint_z)
     for _ in range(150):  # 1.5 s at 100 Hz
+        prev_active = np.asarray(states.reflex) >= 0.0
         states, metrics = vstep(states, cmd)
         triggers += float(np.sum(np.asarray(metrics["reflex_triggers"])))
+        now_active = np.asarray(states.reflex) >= 0.0
+        hp = np.asarray(states.hitpoint)
+        for b, leg in zip(*np.where(now_active & ~prev_active)):
+            pending.append([4, b, leg, hp[b, leg, 2]])
+        nxt = []
+        feet = np.asarray(states.feet)
+        for item in pending:
+            item[0] -= 1
+            b, leg = item[1], item[2]
+            if item[0] == 0:
+                # Still in the same swing (reflex active) -> the re-planned
+                # command must have climbed off the hitpoint.
+                if now_active[b, leg]:
+                    recoveries.append(feet[b, leg, 2] - item[3])
+            else:
+                nxt.append(item)
+        pending = nxt
     xs = np.asarray(states.x)
     assert np.all(np.isfinite(xs))
     assert np.all(xs[:, 2] > 0.1), "fleet scenarios collapsed"
     assert np.mean(xs[:, 0] - x0) > 0.05, "fleet made no forward progress"
-    assert triggers > 0, "reflex analogue never fired on continuous roughness"
+    assert triggers > 0, "reflex never fired on continuous roughness"
+    assert len(recoveries) > 0, "no reflex swing lasted long enough to judge"
+    assert np.median(recoveries) > 0.005, \
+        f"re-planned swings did not climb off the hitpoint: {recoveries}"
 
 
 def test_graft_entry_points():
