@@ -32,6 +32,16 @@ class GaitType(enum.IntEnum):
     BACKDIAGONALCRAWL = 5
     FRONTDIAGONALCRAWL = 6
     FULL_STANCE = 7
+    # Direct-register crawl (beyond the reference's six): per-side
+    # front-then-hind swing order FL -> RL -> FR -> RR, so each front foot
+    # VACATES its foothold one beat before the same-side hind arrives. On
+    # stone lattices a hind leg must time-share the front leg's stone (one
+    # stone per column per lane); every reference crawl swings the hind
+    # BEFORE its front vacates, and the planner's foot-separation exclusion
+    # then (correctly) pushes the hind to the stone's rim (measured on the
+    # chasm: RL targeted d=0.09 rim cells whenever FL still stood on the
+    # column-2 stone).
+    REGISTERCRAWL = 8
 
 
 # Per-leg phase offsets for each gait (reference: helpers/periodic_gait_generator.py:24-39).
@@ -44,6 +54,9 @@ GAIT_PHASE_OFFSETS: dict[GaitType, Tuple[float, float, float, float]] = {
     GaitType.BACKDIAGONALCRAWL: (0.0, 0.5, 0.75, 0.25),
     GaitType.FRONTDIAGONALCRAWL: (0.5, 1.0, 0.75, 1.25),
     GaitType.FULL_STANCE: (0.0, 0.5, 0.5, 0.0),
+    # Swing windows (duty 0.8): FL (0.05-0.25), RL (0.30-0.50),
+    # FR (0.55-0.75), RR (0.80-1.00) — direct register, see GaitType.
+    GaitType.REGISTERCRAWL: (0.75, 0.25, 0.5, 0.0),
 }
 
 
@@ -176,6 +189,7 @@ GAITS: dict[str, GaitParams] = {
     "trot": GaitParams(GaitType.TROT, 1.4, 0.65),
     "pace": GaitParams(GaitType.PACE, 1.4, 0.7),
     "crawl": GaitParams(GaitType.BACKDIAGONALCRAWL, 0.5, 0.8),
+    "crawl_register": GaitParams(GaitType.REGISTERCRAWL, 0.5, 0.8),
     "bound": GaitParams(GaitType.BOUNDING, 1.8, 0.65),
     "full_stance": GaitParams(GaitType.FULL_STANCE, 2.0, 0.65),
 }

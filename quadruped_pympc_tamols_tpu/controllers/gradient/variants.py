@@ -362,7 +362,8 @@ def make_support_residual(cfg: Config, srbd: SRBDParams):
     from ...config import GaitType
     crawl_like = gait in (int(GaitType.CIRCULARCRAWL), int(GaitType.BFDIAGONALCRAWL),
                           int(GaitType.BACKDIAGONALCRAWL),
-                          int(GaitType.FRONTDIAGONALCRAWL))
+                          int(GaitType.FRONTDIAGONALCRAWL),
+                          int(GaitType.REGISTERCRAWL))
     margin = {0: gp.trot_stability_margin, 1: gp.pace_stability_margin}.get(
         gait, gp.crawl_stability_margin)
     m_robot = float(srbd.mass)

@@ -265,7 +265,7 @@ def make_multichip_step(cfg: Config, mesh: Mesh, scenarios_per_device: int = 1,
 
         s2 = ScenarioState(x_next, feet, phase, swing_time, liftoff, cur,
                            SamplingState(new_params, key, new_sigma), s.terrain,
-                           s.reflex)
+                           s.reflex, s.hitpoint)
         vel_err = jnp.linalg.norm(x_next[3:5] - cmd_vel[:2])
         return s2, (vel_err, best_cost)
 

@@ -449,3 +449,182 @@ def test_push_recovery():
         env.step(Legs(np.clip(tt + kp * qe + kd * qde, -0.9 * tau_max, 0.9 * tau_max)))
         assert env.base_pos[2] > 0.5 * cfg.sim.ref_z, f"fell at t={t * 0.002:.2f}s"
         assert abs(env.base_ori_euler_xyz[0]) < 0.8
+
+
+def test_chasm_three_columns_crossed_round5():
+    """Round-5 chasm frontier regression (supersedes the round-4 combo pin
+    below in scope; VERDICT r4 asks #1/#2). The full mechanism stack —
+    velocity-matched retargets (always on with retarget_swing), the
+    flight-time reach gate, the physical-reach swing clamp, the predicted-hip
+    reach band, the widened hind sensing window, the lattice progression
+    gate widened past the stone radius, the late-touchdown hold with its
+    lateral companion, and the lattice-consistent 0.2 m/s command
+    (pitch 0.4 m x 0.5 Hz crawl = 0.2 m/s — round 4's 0.15 m/s mathematically
+    could not keep the Raibert seeds up with the lattice) — walks the robot
+    ONTO the chasm lattice with clean stone landings on THREE columns.
+    Measured (seed 0, TPU-tunnel backend): upright to 9.5 s, base x=1.295,
+    10 in-field touchdowns, 9 within 5 cm of stone centers, clean landings on
+    columns 1 (x~0.8), 2 (x~1.2) and 3 (x~1.6) including both hinds on
+    column 1 and a hind on column 2. Root-caused fixes this round: the
+    knee-limit fling at over-extension (reach clamp), the current-hip reach
+    band blocking every hind column advance (predicted hip), the 13-row
+    window ending 0.26 m ahead of mid-gap hind seeds (21 rows), and the
+    progression gate blind at stone centers (0.22 m radius). The remaining
+    blocker (full crossing) is the same-lane stone time-sharing conflict:
+    every reference crawl swings a hind leg BEFORE its front vacates the
+    shared stone, so the hind's target is rim-squeezed by the
+    foot-separation exclusion once per cycle (measured: the d=0.09-0.125
+    rim targets at t=8.1-8.5); the direct-register crawl built for it
+    (gait 'crawl_register') fixes the ORDER but does not yet walk stably —
+    documented in README Known issues."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="nominal", gait="crawl",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "sim.velocity_modulator": False,
+                         "sim.touchdown_overdrive": 0.02,
+                         "mpc.gradient.use_zmp_stability": True,
+                         "mpc.gradient.slack_l1": 100.0,
+                         "tamols.heightmap_cols": 13,
+                         "tamols.support_margin": 0.03,
+                         "tamols.trigger_phase": 0.05,
+                         "tamols.lateral_margin": 0.05,
+                         "tamols.weight_deviation": 6.0,
+                         "tamols.search_radius_forward": 0.42,
+                         "tamols.search_radius_back": 0.1,
+                         "tamols.foot_separation": 0.1,
+                         "tamols.min_advance": 0.35,
+                         "tamols.fallback": "foot",
+                         "tamols.max_foot_speed": 1.5,
+                         "tamols.predict_hip_at_touchdown": True,
+                         "tamols.progression_foot_radius": 0.22,
+                         "tamols.heightmap_rows": 21,
+                         "sim.late_touchdown_hold": 0.06,
+                         "sim.late_touchdown_hold_xy": 0.07,
+                         "sim.swing_reach_clamp": 0.95})
+
+    class TDProbe:
+        def __init__(self):
+            self.prev = np.ones(4)
+            self.max_x = -10.0
+            self.dstones = []  # (x, dstone)
+            self.stones = None
+
+        def log(self, t, env, wrapper):
+            import mujoco
+            if self.stones is None:
+                m = env.model
+                self.stones = np.array(
+                    [m.geom_pos[i][:2] for i in range(m.ngeom)
+                     if m.geom_type[i] == mujoco.mjtGeom.mjGEOM_CYLINDER])
+            self.max_x = max(self.max_x, float(env.base_pos[0]))
+            c = wrapper.wb_interface.current_contact
+            feet = np.asarray(env.feet_pos().data)
+            for leg in range(4):
+                if self.prev[leg] == 0 and c[leg] == 1:
+                    f = feet[leg]
+                    if 0.55 < f[0] < 3.0:
+                        self.dstones.append((float(f[0]), float(np.min(
+                            np.linalg.norm(self.stones - f[:2], axis=1)))))
+            self.prev = c.copy()
+
+    def vel(t, base_pos):
+        vy = float(np.clip(-0.5 * (base_pos[1] - 0.2), -0.1, 0.1))
+        return (0.2, vy)
+
+    probe = TDProbe()
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=9.0,
+                         ref_base_lin_vel=vel, scene="stepping_stones_chasm",
+                         seed=0, spawn=(-0.3, 0.2, 0.0), logger=probe)[0]
+    assert not res.fell, f"fell at {res.duration:.1f}s (x={probe.max_x:.2f})"
+    assert probe.max_x > 1.1, \
+        f"base did not press past column 2: x={probe.max_x:.2f}"
+    d = np.asarray([x[1] for x in probe.dstones])
+    assert len(d) >= 8, f"too few in-field touchdowns to judge ({len(d)})"
+    assert np.sum(d <= 0.06) >= 7, f"too few clean chasm landings: {d}"
+    # Clean landings on >= 3 distinct columns (0.4 m pitch from x=0.8).
+    cols = {int(round((x - 0.8) / 0.4)) for x, dd in probe.dstones if dd <= 0.06}
+    assert len(cols) >= 3, f"clean landings only on columns {sorted(cols)}"
+
+
+def test_sampling_family_stone_field_entry():
+    """SAMPLING-family stepping stones (VERDICT r4 ask #3 — TAMOLS is
+    controller-agnostic in the reference, wb_interface.py:230-246). Pinned
+    MEASURED FRONTIER, not a crossing: from the crest flat the sampling MPC +
+    TAMOLS (sparse-terrain constraint set + equilibrium_share) walks INTO the
+    plum-blossom field with stone precision — CPU backend, seed 0, vx 0.10:
+    upright 8.04 s, base x=5.42 (field starts 4.90), 25 in-field touchdowns at
+    56% stone-interior / 96% clean (identical numbers measured on the TPU
+    backend). The sampling family HOLDS the +-3 cm foothold precision the
+    stones demand; the full crossing is blocked ~0.5 m into the field by an
+    attitude oscillation on mixed stone/deck stances (vx collapses, the base
+    rears to pitch -0.36 then rolls). The measured attempt ladder: N=2000
+    baseline 6.5 s / x=5.23 / 62% interior; N=16384 WORSE (6.0 s — a null
+    result for exploration capacity: 8x the samples does not move the
+    binding constraint); mppi 5.1 s; equilibrium_share OFF 5.6 s (the share
+    helps); step_height 0.15 + overdrive 7.0 s; roll/pitch cost x4 4.9 s and
+    +rate damping 5.0 s (stiffer attitude costs destabilize). Diagnosis: the
+    capped per-leg force DELTAS around the gravity share cannot realize the
+    fast asymmetric load redistribution a mixed-height stance demands — the
+    same regime that required the ZMP band constraint for the nominal family
+    (round 2), a constraint surface the sampling formulation lacks. The
+    thresholds below pin the working frontier with margin."""
+    pytest.importorskip("mujoco")
+    from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
+
+    cfg = make_config("aliengo", mpc_type="sampling",
+                      **{"sim.visual_foothold_adaptation": "tamols",
+                         "sim.velocity_modulator": False,
+                         "mpc.sampling.num_samples": 2000,
+                         "mpc.sampling.equilibrium_share": True,
+                         "tamols.heightmap_cols": 13,
+                         "tamols.support_margin": 0.015,
+                         "tamols.trigger_phase": 0.05,
+                         "tamols.lateral_margin": 0.05,
+                         "tamols.weight_deviation": 6.0,
+                         "tamols.search_radius_forward": 0.2,
+                         "tamols.search_radius_back": 0.1,
+                         "tamols.foot_separation": 0.1})
+    ang = np.radians(15.0)
+    z_top = 3.0 * np.sin(ang)
+    x_f1 = 1.0 + 3.0 * np.cos(ang) + 1.0  # field start (4.898)
+    stones = np.array([(x_f1 + 0.2 + 0.4 * ix, y)
+                       for ix in range(10)
+                       for y in ((-0.4, 0.0, 0.4) if ix % 2 == 0
+                                 else (-0.2, 0.2, 0.6))])
+
+    class TDProbe:
+        def __init__(self):
+            self.prev = np.ones(4)
+            self.dstones = []
+            self.max_x = 0.0
+
+        def log(self, t, env, wrapper):
+            c = wrapper.wb_interface.current_contact
+            feet = np.asarray(env.feet_pos().data)
+            self.max_x = max(self.max_x, float(env.base_pos[0]))
+            for leg in range(4):
+                if self.prev[leg] == 0 and c[leg] == 1:
+                    f = feet[leg]
+                    if x_f1 - 0.1 < f[0] < x_f1 + 4.1:
+                        self.dstones.append(float(np.min(
+                            np.linalg.norm(stones - f[:2], axis=1))))
+            self.prev = c.copy()
+
+    def vel(t, base_pos):
+        return (0.10, float(np.clip(-0.5 * base_pos[1], -0.1, 0.1)))
+
+    probe = TDProbe()
+    res = run_simulation(cfg, num_episodes=1, episode_duration_s=30.0,
+                         ref_base_lin_vel=vel, scene="stepping_stones",
+                         seed=0, spawn=(4.35, 0.0, z_top), logger=probe)[0]
+    assert res.duration > 6.5, f"fell too early: {res.duration:.1f}s"
+    assert probe.max_x > 5.25, \
+        f"did not press into the field: x={probe.max_x:.2f} (field at 4.90)"
+    d = np.asarray(probe.dstones)
+    assert len(d) >= 18, f"too few in-field touchdowns ({len(d)})"
+    clean = np.mean((d <= 0.11) | (d >= 0.19))
+    assert clean >= 0.88, f"rim landings: only {clean:.0%} clean"
+    assert np.mean(d <= 0.11) >= 0.45, \
+        f"only {np.mean(d <= 0.11):.0%} of touchdowns on stone interiors"
