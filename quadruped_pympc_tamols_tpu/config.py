@@ -54,9 +54,12 @@ GAIT_PHASE_OFFSETS: dict[GaitType, Tuple[float, float, float, float]] = {
     GaitType.BACKDIAGONALCRAWL: (0.0, 0.5, 0.75, 0.25),
     GaitType.FRONTDIAGONALCRAWL: (0.5, 1.0, 0.75, 1.25),
     GaitType.FULL_STANCE: (0.0, 0.5, 0.5, 0.0),
-    # Swing windows (duty 0.8): FL (0.05-0.25), RL (0.30-0.50),
-    # FR (0.55-0.75), RR (0.80-1.00) — direct register, see GaitType.
-    GaitType.REGISTERCRAWL: (0.75, 0.25, 0.5, 0.0),
+    # Swing windows (duty 0.8): FL (0.05-0.25), FR (0.30-0.50),
+    # RL (0.55-0.75), RR (0.80-1.00) — fronts first, then hinds, sides
+    # alternating; each hind arrives a HALF CYCLE after its front vacated
+    # (the same-side-consecutive variant (0.75, 0.25, 0.5, 0.0) demanded a
+    # front-right -> back-left ZMP jump in 0.05 phase and fell on the deck).
+    GaitType.REGISTERCRAWL: (0.75, 0.5, 0.25, 0.0),
 }
 
 
@@ -253,6 +256,17 @@ class SamplingParams:
     cem_elite: int = 10
     cem_sigma_min: float = 0.2
     cem_sigma_max: float = 5.0
+    # ZMP-band rollout COST — the sampling family's analogue of the gradient
+    # family's soft ZMP band constraint (gradient.use_zmp_stability; reference
+    # centroidal_nmpc_nominal.py:914-934): during 2-stance phases, rollouts
+    # whose ZMP approximation leaves the stance support segment by more than
+    # zmp_margin pay quadratically. Built for the stone-field regime where
+    # mixed-height stances destabilized the sampling family (round-5 attempt
+    # ladder, test_sampling_family_stone_field_entry). 0 = reference parity
+    # (compiles to nothing). XLA rollout path only; the Pallas kernel keeps
+    # the plain cost (it serves the flat-ground benchmarks and the fleet).
+    zmp_weight: float = 0.0
+    zmp_margin: float = 0.04
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,6 +356,13 @@ class TamolsParams:
     # moves the touchdown > 3 cm (otherwise the foot descends on the stale
     # lift-off curve and lands short of the moved target).
     retarget_swing: bool = True
+    # Velocity-matched retargets (round-5 chasm mechanism): the re-plan starts
+    # from the COMMANDED point at the commanded velocity with a
+    # continuity-preserving apex, instead of the measured foot with the v=0
+    # clamp and a fresh full apex. Essential for long lattice hops (the v=0
+    # restart commands a velocity discontinuity the swing PD turns into a
+    # fling); default OFF for parity with the round-4-tuned course runs.
+    retarget_velocity_match: bool = False
     # Flight-time-aware reach model (round-4 chasm postmortem: the planner
     # happily selected a column-2 stone 0.4 m away with 0.2 s of swing left,
     # and the executed hop landed ~20 cm short). When > 0, a candidate is

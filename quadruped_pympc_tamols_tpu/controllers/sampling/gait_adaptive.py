@@ -174,7 +174,9 @@ def make_gait_adaptive_solver(cfg: Config, num_samples: int | None = None,
         n_stance = jnp.sum(seq, axis=0)
         share = srbd.mass * 9.81 / jnp.maximum(n_stance, 1.0)
         costs = rollout_costs_soa(state12, feet, ref12, raw, seq, share, dts, Qdiag,
-                                  srbd, fm, _COST_SATURATION)
+                                  srbd, fm, _COST_SATURATION,
+                                  zmp_weight=sp.zmp_weight,
+                                  zmp_margin=sp.zmp_margin)
         # Frequency regularization (reference :500).
         costs = costs + (freq - 1.3) ** 2 * 100.0
         return costs

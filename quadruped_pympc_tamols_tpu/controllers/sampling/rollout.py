@@ -83,7 +83,8 @@ def equilibrium_share(feet, com_pos, contact_seq, mass, gravity, grf_max):
 
 def rollout_costs_soa(state12, feet, ref12, raw_steps, contact_seq, share, dts, q_diag,
                       params: SRBDParams, fm: ForceModelParams,
-                      saturate: float = 1.0e6, unroll: int = 1):
+                      saturate: float = 1.0e6, unroll: int = 1,
+                      zmp_weight: float = 0.0, zmp_margin: float = 0.04):
     """Integrate all samples through the horizon and return accumulated costs.
 
     Args:
@@ -178,6 +179,33 @@ def rollout_costs_soa(state12, feet, ref12, raw_steps, contact_seq, share, dts, 
             if w_i != 0.0:
                 e = rows[i] - ref12[i]
                 cost = cost + w_i * e * e
+        if zmp_weight > 0.0:
+            # ZMP-band COST (config sampling.zmp_weight) — the sampling
+            # family's analogue of the gradient family's soft ZMP band
+            # (variants.make_support_residual; reference
+            # centroidal_nmpc_nominal.py:914-934). During 2-stance phases the
+            # ZMP approximation p = com_xy - (com_z/g) a_xy is penalized
+            # quadratically beyond ``zmp_margin`` of the stance support
+            # segment. Trace-time gated: zero weight compiles to nothing
+            # (reference parity).
+            zx = px - (pz / g) * ax
+            zy = py - (pz / g) * ay
+            pairs = ((0, 3, 1, 2), (1, 2, 0, 3), (0, 2, 1, 3),
+                     (1, 3, 0, 2), (0, 1, 2, 3), (2, 3, 0, 1))
+            pen = 0.0
+            for i, j, k, l in pairs:
+                mask = c[i] * c[j] * (1.0 - c[k]) * (1.0 - c[l])
+                axp, ayp = feet[i, 0], feet[i, 1]
+                vxp, vyp = feet[j, 0] - axp, feet[j, 1] - ayp
+                denom = vxp * vxp + vyp * vyp + 1e-9
+                t = jnp.clip(((zx - axp) * vxp + (zy - ayp) * vyp) / denom,
+                             0.0, 1.0)
+                dxp = zx - (axp + t * vxp)
+                dyp = zy - (ayp + t * vyp)
+                dist = jnp.sqrt(dxp * dxp + dyp * dyp + 1e-12)
+                pen = pen + mask * jnp.square(
+                    jnp.maximum(dist - zmp_margin, 0.0))
+            cost = cost + zmp_weight * pen
         return (rows, cost), None
 
     (_, cost), _ = jax.lax.scan(step, (rows0, cost0), (raw_steps, contact_t, share, dts),

@@ -150,7 +150,9 @@ def make_sampling_solver(cfg: Config, num_samples: int | None = None, method: st
         raw = (W_big @ params_vec).reshape(H, 12, params_vec.shape[-1])
         costs = rollout_costs_soa(state12, feet, ref12, raw, contact_seq,
                                   _share(contact_seq, state12, feet), dts, Qdiag,
-                                  srbd, fm, _COST_SATURATION)
+                                  srbd, fm, _COST_SATURATION,
+                                  zmp_weight=sp.zmp_weight,
+                                  zmp_margin=sp.zmp_margin)
 
         best_idx = jnp.argmin(costs)
         best_cost = costs[best_idx]

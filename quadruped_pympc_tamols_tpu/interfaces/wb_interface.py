@@ -243,23 +243,28 @@ class WBInterface:
                     feet_now_arr = np.asarray(feet_pos.data)
                     des_prev = np.asarray(self.last_des_foot_pos.data)
                     lo_arr = np.asarray(self.frg.lift_off_positions.data)
+                    vmatch = cfg.tamols.retarget_velocity_match
                     for leg in range(4):
                         if self.current_contact[leg] == 0 and \
                                 np.linalg.norm(adapted[leg, :2] - seeds[leg, :2]) > 0.03:
                             t_sw = float(self.stc.swing_time[leg])
-                            in_flight = t_sw > 1.5 * self.cfg.sim.dt
-                            # Early retargets (trigger at ~liftoff) start from
-                            # the measured foot; mid-flight retargets start
-                            # from the COMMANDED point with the commanded
-                            # velocity, keeping the command continuous.
+                            in_flight = vmatch and t_sw > 1.5 * self.cfg.sim.dt
+                            # config tamols.retarget_velocity_match: mid-flight
+                            # retargets start from the COMMANDED point with the
+                            # commanded velocity and a continuity-preserving
+                            # apex (the lattice-hop mechanism); otherwise the
+                            # measured foot with the v=0 clamp (parity with
+                            # the course-tuned behavior).
                             start = des_prev[leg] if in_flight else feet_now_arr[leg]
                             vel = (self._last_des_foot_vel[leg]
                                    if in_flight else None)
-                            apex = float(np.clip(
-                                max(lo_arr[leg, 2], adapted[leg, 2])
-                                + self.stc.step_height
-                                - max(start[2], adapted[leg, 2]),
-                                0.02, self.stc.step_height))
+                            apex = None
+                            if in_flight:
+                                apex = float(np.clip(
+                                    max(lo_arr[leg, 2], adapted[leg, 2])
+                                    + self.stc.step_height
+                                    - max(start[2], adapted[leg, 2]),
+                                    0.02, self.stc.step_height))
                             self.stc.retarget(leg, start, t_sw, velocity=vel,
                                               apex=apex)
             if self.stc.check_full_stance_condition(self.current_contact):

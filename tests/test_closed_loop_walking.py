@@ -475,8 +475,10 @@ def test_chasm_three_columns_crossed_round5():
     shared stone, so the hind's target is rim-squeezed by the
     foot-separation exclusion once per cycle (measured: the d=0.09-0.125
     rim targets at t=8.1-8.5); the direct-register crawl built for it
-    (gait 'crawl_register') fixes the ORDER but does not yet walk stably —
-    documented in README Known issues."""
+    (gait 'crawl_register', alternating-side order FL->FR->RL->RR) walks
+    and advances the hinds every cycle (measured x=1.458, a clean column-3
+    landing) but trades landing precision — README Known issues carries the
+    full ladder; this pin keeps the standard-crawl combo's precision."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
@@ -497,6 +499,7 @@ def test_chasm_three_columns_crossed_round5():
                          "tamols.min_advance": 0.35,
                          "tamols.fallback": "foot",
                          "tamols.max_foot_speed": 1.5,
+                         "tamols.retarget_velocity_match": True,
                          "tamols.predict_hip_at_touchdown": True,
                          "tamols.progression_foot_radius": 0.22,
                          "tamols.heightmap_rows": 21,
@@ -557,19 +560,26 @@ def test_sampling_family_stone_field_entry():
     upright 8.04 s, base x=5.42 (field starts 4.90), 25 in-field touchdowns at
     56% stone-interior / 96% clean (identical numbers measured on the TPU
     backend). The sampling family HOLDS the +-3 cm foothold precision the
-    stones demand; the full crossing is blocked ~0.5 m into the field by an
-    attitude oscillation on mixed stone/deck stances (vx collapses, the base
-    rears to pitch -0.36 then rolls). The measured attempt ladder: N=2000
-    baseline 6.5 s / x=5.23 / 62% interior; N=16384 WORSE (6.0 s — a null
-    result for exploration capacity: 8x the samples does not move the
-    binding constraint); mppi 5.1 s; equilibrium_share OFF 5.6 s (the share
-    helps); step_height 0.15 + overdrive 7.0 s; roll/pitch cost x4 4.9 s and
-    +rate damping 5.0 s (stiffer attitude costs destabilize). Diagnosis: the
-    capped per-leg force DELTAS around the gravity share cannot realize the
-    fast asymmetric load redistribution a mixed-height stance demands — the
-    same regime that required the ZMP band constraint for the nominal family
-    (round 2), a constraint surface the sampling formulation lacks. The
-    thresholds below pin the working frontier with margin."""
+    stones demand. The measured attempt ladder: N=2000 baseline 6.5 s /
+    x=5.23 / 62% interior (attitude oscillation on mixed stone/deck stances
+    — vx collapses, the base rears to pitch -0.36 then rolls); N=16384
+    WORSE (6.0 s — a null result for exploration capacity: 8x the samples
+    does not move the binding constraint); mppi 5.1 s; equilibrium_share
+    OFF 5.6 s (the share helps); step_height 0.15 + overdrive 7.0 s;
+    roll/pitch cost x4 4.9 s and +rate damping 5.0 s (stiffer attitude
+    costs destabilize). Diagnosis: the regime that required the nominal
+    family's ZMP band CONSTRAINT (round 2) — a stability surface the
+    sampling formulation lacked. Round 5 builds it as a rollout COST
+    (sampling.zmp_weight, the 2-stance support-segment band): at weight 500
+    the run nearly doubles to 13.3 s upright, 53 in-field touchdowns at
+    55% interior / 98% clean, x=5.43 — sharply peaked in weight (800:
+    6.6 s; 2000: 6.8 s with distorted landings; the band must be a
+    preference, not a straitjacket). The remaining blocker is a re-stepping
+    stall: at the 0.07 m/cycle Raibert step the deviation-dominated argmin
+    re-lands the same stones for cycles while the base reaches its support
+    edge, then rolls — the same seed-progression regime the chasm's
+    min_advance addresses on lattices. The thresholds below pin the
+    ZMP-cost frontier with margin."""
     pytest.importorskip("mujoco")
     from quadruped_pympc_tamols_tpu.sim.simulation import run_simulation
 
@@ -578,6 +588,7 @@ def test_sampling_family_stone_field_entry():
                          "sim.velocity_modulator": False,
                          "mpc.sampling.num_samples": 2000,
                          "mpc.sampling.equilibrium_share": True,
+                         "mpc.sampling.zmp_weight": 500.0,
                          "tamols.heightmap_cols": 13,
                          "tamols.support_margin": 0.015,
                          "tamols.trigger_phase": 0.05,

@@ -178,3 +178,50 @@ def test_determinism_same_key():
     oa = a.compute_control(state, ref, seq, seq[:, 0], np.ones(4))
     ob = b.compute_control(state, ref, seq, seq[:, 0], np.ones(4))
     np.testing.assert_allclose(np.asarray(oa.grfs), np.asarray(ob.grfs), atol=1e-6)
+
+
+def test_zmp_band_cost_penalizes_off_support_rollouts():
+    """sampling.zmp_weight (round 5): the ZMP-band rollout cost — the sampling
+    family's analogue of the gradient family's soft ZMP band
+    (gradient.use_zmp_stability) — charges rollouts whose ZMP leaves the
+    2-stance support segment, and compiles to NOTHING at weight 0 (parity)."""
+    import jax.numpy as jnp
+
+    from quadruped_pympc_tamols_tpu.config import make_config
+    from quadruped_pympc_tamols_tpu.controllers.sampling.rollout import (
+        ForceModelParams,
+        rollout_costs_soa,
+    )
+    from quadruped_pympc_tamols_tpu.dynamics.srbd import make_params
+
+    cfg = make_config("aliengo", mpc_type="sampling")
+    srbd = make_params(cfg)
+    sp = cfg.mpc.sampling
+    fm = ForceModelParams(sp.max_force_x / sp.max_force_z,
+                          sp.max_force_y / sp.max_force_z,
+                          cfg.mpc.grf_min, cfg.mpc.grf_max, cfg.mpc.mu)
+    H = cfg.mpc.horizon
+    state12 = jnp.zeros(12).at[2].set(0.33)
+    feet = jnp.asarray([[0.25, 0.15, 0], [0.25, -0.15, 0],
+                        [-0.25, 0.15, 0], [-0.25, -0.15, 0]], jnp.float32)
+    ref12 = jnp.zeros(12).at[2].set(0.33)
+    # Trot 2-stance: FL+RR support, diagonal segment through the origin.
+    seq = jnp.asarray(np.tile([[1.0], [0.0], [0.0], [1.0]], (1, H)), jnp.float32)
+    share = srbd.mass * 9.81 / jnp.full(H, 2.0)
+    dts = jnp.asarray(cfg.mpc.dts())
+    q0 = np.zeros(12)  # isolate the ZMP term
+    # Sample 0: zero deltas (ZMP rides gravity near the diagonal).
+    # Sample 1: strong +y lateral force on both stance legs -> a_y pushes the
+    # ZMP laterally off the diagonal segment.
+    raw = np.zeros((H, 12, 2), np.float32)
+    raw[:, 0 * 3 + 1, 1] = 60.0  # FL fy (scaled by scale_y inside the model)
+    raw[:, 3 * 3 + 1, 1] = 60.0  # RR fy
+    costs = rollout_costs_soa(state12, feet, ref12, jnp.asarray(raw), seq,
+                              share, dts, q0, srbd, fm,
+                              zmp_weight=1000.0, zmp_margin=0.02)
+    assert float(costs[1]) > float(costs[0]) + 1.0, \
+        f"lateral-ZMP rollout not penalized: {np.asarray(costs)}"
+    # Weight 0 = parity: both rollouts cost exactly zero under a zero Q.
+    c0 = rollout_costs_soa(state12, feet, ref12, jnp.asarray(raw), seq,
+                           share, dts, q0, srbd, fm, zmp_weight=0.0)
+    np.testing.assert_allclose(np.asarray(c0), 0.0, atol=1e-6)
