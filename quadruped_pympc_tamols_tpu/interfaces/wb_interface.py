@@ -93,6 +93,7 @@ class WBInterface:
         self.current_contact = np.ones(4)
         self._last_td_targets = None  # (4, 3) swing touchdown targets
         self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
+        self._hold_ticks = np.zeros(4, int)  # hold duration (safety cap)
         self.previous_contact = np.ones(4)
         self.last_des_foot_pos = Legs.zeros((3,))
         # Commanded foot velocities of the last tick: the velocity-matched
@@ -161,6 +162,13 @@ class WBInterface:
                     late = np.linalg.norm(feet_arr[leg, :2]
                                           - self._last_td_targets[leg, :2]) \
                         > hold_xy
+                if late and self._hold_ticks[leg] * simulation_dt > 0.5:
+                    # Safety cap: a target that stays unreachable (e.g. the
+                    # base stopped advancing) must not hold the leg in swing
+                    # forever — a perpetual 3-legged stance is worse than an
+                    # off-target contact. 0.5 s is > 2 full hind-hop holds
+                    # measured on the chasm; reached only in degenerate states.
+                    late = False
                 if self.previous_contact[leg] == 0 \
                         and self.current_contact[leg] == 1 \
                         and late:
@@ -177,8 +185,10 @@ class WBInterface:
                     # own target one tick later and releases it mid-air
                     # (measured).
                     self._hold_active[leg] = True
+                    self._hold_ticks[leg] += 1
                 else:
                     self._hold_active[leg] = False
+                    self._hold_ticks[leg] = 0
 
         self.frg.update_lift_off_positions(self.previous_contact, self.current_contact,
                                            feet_pos, self.pgg.gait_type, base_pos,
@@ -541,6 +551,7 @@ class WBInterface:
         self.current_contact = np.ones(4)
         self._last_td_targets = None  # (4, 3) swing touchdown targets
         self._hold_active = np.zeros(4, bool)  # late-touchdown hold latch
+        self._hold_ticks = np.zeros(4, int)  # hold duration (safety cap)
         self.previous_contact = np.ones(4)
         self._last_des_foot_vel = np.zeros((4, 3))
         self._vel_hist.clear()
