@@ -275,3 +275,43 @@ def test_late_touchdown_hold_defers_stance_flip():
     tick(Legs(feet_arr))  # foot back on the ground
     assert wb.current_contact[held] == 1.0
     assert not wb._hold_active[held]
+
+
+def test_late_touchdown_hold_time_cap():
+    """The hold releases after 0.5 s even when the target never becomes
+    reachable (round-5 safety cap): a perpetual 3-legged stance is worse than
+    an off-target contact."""
+    import numpy as np
+
+    from quadruped_pympc_tamols_tpu import make_config
+    from quadruped_pympc_tamols_tpu.interfaces.wb_interface import WBInterface
+    from quadruped_pympc_tamols_tpu.utils.legs import Legs
+
+    cfg = make_config("aliengo", **{"sim.late_touchdown_hold": 0.06,
+                                    "sim.visual_foothold_adaptation": "blind"})
+    feet0 = Legs(np.array([[0.25, 0.15, 0.0], [0.25, -0.15, 0.0],
+                           [-0.25, 0.15, 0.0], [-0.25, -0.15, 0.0]]))
+    wb = WBInterface(cfg, feet0)
+    hips = Legs(np.asarray(feet0.data) + np.array([0.0, 0.0, 0.35]))
+    joints = Legs.zeros((3,))
+
+    def tick(feet):
+        wb.update_state_and_reference(
+            com_pos=np.array([0.0, 0.0, 0.35]), base_pos=np.array([0.0, 0.0, 0.35]),
+            base_lin_vel=np.array([0.2, 0.0, 0.0]), base_ori_euler_xyz=np.zeros(3),
+            base_ang_vel=np.zeros(3), feet_pos=feet, hip_pos=hips,
+            joints_pos=joints, heightmaps=None, simulation_dt=0.002,
+            ref_base_lin_vel=np.array([0.2, 0.0, 0.0]),
+            ref_base_ang_vel=np.zeros(3))
+
+    wb._last_td_targets = np.asarray(feet0.data, np.float64).copy()
+    max_hold = np.zeros(4, int)
+    for _ in range(4000):
+        feet_arr = np.asarray(feet0.data).copy()
+        for leg in np.where(wb.current_contact == 0)[0]:
+            feet_arr[leg, 2] = 0.25  # target NEVER reachable
+        tick(Legs(feet_arr))
+        max_hold = np.maximum(max_hold, wb._hold_ticks)
+    assert max_hold.max() > 0, "hold never engaged"
+    # 0.5 s at the 2 ms tick = 250 ticks; the cap releases just past it.
+    assert max_hold.max() <= 252, f"hold not capped: {max_hold}"
